@@ -1,0 +1,108 @@
+"""Tests for the host read packer: window semantics vs a naive reference."""
+
+import collections
+
+import numpy as np
+import pytest
+
+from tsxcount_tpu.config import BASES_PER_WORD, BatchSpec, KmerSpec
+from tsxcount_tpu.io.packer import ReadPacker, pack_reads
+from tsxcount_tpu.utils.sequence import unpack_words
+
+
+def naive_kmers(reads, k, drop_n=True):
+    """Inclusive len-k+1 sliding window (reference testExecution.h:15-36)."""
+    out = collections.Counter()
+    for seq in reads:
+        if len(seq) < k:
+            continue
+        for i in range(len(seq) - k + 1):
+            win = seq[i : i + k]
+            if drop_n and any(c not in "ACGT" for c in win):
+                continue
+            out[win] += 1
+    return out
+
+
+def kmers_from_batches(batches, k):
+    """Recover the multiset of valid k-mer strings from packed batches."""
+    out = collections.Counter()
+    for pb in batches:
+        codes = unpack_words(pb.words, len(pb.words) * BASES_PER_WORD)
+        chars = np.array(list("ACGT"))[codes]
+        for w in range(len(pb.vmask)):
+            bits = int(pb.vmask[w])
+            for s in range(BASES_PER_WORD):
+                if bits & (1 << s):
+                    p = w * BASES_PER_WORD + s
+                    out["".join(chars[p : p + k])] += 1
+    return out
+
+
+def rand_reads(rng, n, lo, hi, alphabet="ACGT"):
+    return [
+        "".join(rng.choice(list(alphabet), size=rng.integers(lo, hi)))
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("k", [4, 14, 31])
+def test_packer_matches_naive_windows(k):
+    rng = np.random.default_rng(k)
+    reads = rand_reads(rng, 30, 1, 80)
+    batch = BatchSpec(KmerSpec(k), capacity_words=32)
+    got = kmers_from_batches(pack_reads(reads, batch), k)
+    assert got == naive_kmers(reads, k)
+
+
+def test_packer_skips_short_reads():
+    batch = BatchSpec(KmerSpec(10), capacity_words=8)
+    packer = ReadPacker(batch)
+    list(packer.feed("ACGTACGT"))  # len 8 < k=10
+    list(packer.finish())
+    assert packer.stats.reads_skipped == 1
+    assert packer.stats.windows == 0
+
+
+def test_packer_split_long_read_no_loss():
+    # read much longer than one batch: windows must be exactly preserved
+    k = 14
+    rng = np.random.default_rng(7)
+    read = "".join(rng.choice(list("ACGT"), size=5000))
+    batch = BatchSpec(KmerSpec(k), capacity_words=16)  # 256 bases/batch
+    got = kmers_from_batches(pack_reads([read], batch), k)
+    assert got == naive_kmers([read], k)
+    assert sum(got.values()) == 5000 - k + 1
+
+
+def test_packer_drop_policy_masks_n_windows():
+    k = 5
+    reads = ["ACGTNACGTACGT"]
+    batch = BatchSpec(KmerSpec(k), capacity_words=8)
+    got = kmers_from_batches(pack_reads(reads, batch), k)
+    assert got == naive_kmers(reads, k)
+    # windows overlapping the N (positions 0..4) are dropped
+    assert sum(got.values()) == len(reads[0]) - k + 1 - k
+
+
+def test_packer_random_policy_is_deterministic_and_counts_all_windows():
+    k = 5
+    reads = ["ACGTNACGTACGT"]
+    batch = BatchSpec(KmerSpec(k), capacity_words=8)
+    a = kmers_from_batches(pack_reads(reads, batch, n_policy="random", seed=3), k)
+    b = kmers_from_batches(pack_reads(reads, batch, n_policy="random", seed=3), k)
+    assert a == b
+    assert sum(a.values()) == len(reads[0]) - k + 1
+
+
+def test_word_alignment_of_reads():
+    batch = BatchSpec(KmerSpec(4), capacity_words=8)
+    packer = ReadPacker(batch)
+    list(packer.feed("ACGTA"))  # 5 bases -> 1 word
+    list(packer.feed("TTTT"))
+    batches = list(packer.finish())
+    assert len(batches) == 1
+    words = batches[0].words
+    codes = unpack_words(words, 32)
+    # second read starts at base 16 (word 1)
+    assert "".join("ACGT"[c] for c in codes[16:20]) == "TTTT"

@@ -1,0 +1,113 @@
+"""Quotient table tests: insert/lookup/reconstruction parity."""
+
+import collections
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsxcount_tpu.config import KmerSpec, counts_to_int
+from tsxcount_tpu.core.table import QuotientTable
+from tsxcount_tpu.ops.count import count_unique
+from tsxcount_tpu.ops.gf2 import GF2Hash
+
+
+def _make_table(k=14, l=10, seed=1, max_reprobes=64):
+    spec = KmerSpec(k)
+    return QuotientTable(spec, l, GF2Hash(spec, seed=seed),
+                         max_reprobes=max_reprobes), spec
+
+
+def _insert_batch(table, state, keys_np, valid_np):
+    uc = count_unique(jnp.asarray(keys_np), jnp.asarray(valid_np))
+    return jax.jit(table.insert)(state, uc.keys, uc.counts, uc.valid)
+
+
+@pytest.mark.parametrize("k", [14, 33, 127])
+def test_insert_lookup_exact(k):
+    table, spec = _make_table(k=k, l=9)
+    state = table.init_state()
+    rng = np.random.default_rng(k)
+    vocab = rng.integers(0, 2**32, size=(100, spec.lanes), dtype=np.uint32)
+    vocab[:, -1] &= spec.top_lane_mask
+    vocab = np.unique(vocab, axis=0)
+    expected = collections.Counter()
+    for _ in range(4):
+        idx = rng.integers(0, len(vocab), size=256)
+        batch = vocab[idx]
+        valid = rng.random(256) < 0.9
+        expected.update(
+            tuple(r) for r, ok in zip(batch.tolist(), valid.tolist()) if ok
+        )
+        state = _insert_batch(table, state, batch, valid)
+    assert int(jax.device_get(state.spilled)) == 0
+    assert int(jax.device_get(state.n)) == len(expected)
+
+    queries = np.array([list(kk) for kk in expected], dtype=np.uint32)
+    digits, found = jax.jit(table.lookup)(state, jnp.asarray(queries))
+    assert bool(np.asarray(found).all())
+    got = [counts_to_int(*d) for d in np.asarray(digits)]
+    want = [expected[tuple(q)] for q in queries.tolist()]
+    assert got == want
+
+    # absent keys are not found
+    absent = vocab[:8].copy()
+    absent[:, 0] ^= 0xDEADBEEF
+    absent[:, -1] &= spec.top_lane_mask
+    _, found = jax.jit(table.lookup)(state, jnp.asarray(absent))
+    present = {tuple(r) for r in vocab.tolist()}
+    for row, f in zip(absent.tolist(), np.asarray(found).tolist()):
+        if tuple(row) not in present:
+            assert not f
+
+
+def test_reconstruct_all_kmers():
+    """getAllKmers parity: every stored slot reconstructs its exact k-mer
+    via the inverse hash (reference TSXHashMap.h:660-722)."""
+    table, spec = _make_table(k=14, l=8)
+    state = table.init_state()
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**28, size=(150, 1), dtype=np.uint32)
+    state = _insert_batch(table, state, keys, np.ones(150, bool))
+    kmers, counts, n = table.to_host(state)
+    expected = collections.Counter(int(k[0]) for k in keys)
+    got = {int(k[0]): int(c) for k, c in zip(kmers, counts)}
+    assert got == dict(expected)
+
+
+def test_heavy_collisions_reprobe_chain():
+    # tiny table, identity hash -> forced collisions exercise reprobing
+    spec = KmerSpec(14)
+    table = QuotientTable(spec, 4, GF2Hash(spec, identity=True),
+                          max_reprobes=15)
+    state = table.init_state()
+    # 12 keys all with identical low-4 hash bits (pos0 identical)
+    keys = np.array([[i << 4] for i in range(12)], dtype=np.uint32)
+    state = _insert_batch(table, state, keys, np.ones(12, bool))
+    assert int(jax.device_get(state.spilled)) == 0
+    digits, found = table.lookup(state, jnp.asarray(keys))
+    assert bool(np.asarray(found).all())
+    assert all(counts_to_int(*d) == 1 for d in np.asarray(digits))
+    kmers, counts, n = table.to_host(state)
+    assert n == 12
+    assert sorted(int(k[0]) for k in kmers) == [i << 4 for i in range(12)]
+
+
+def test_spill_on_full_table():
+    spec = KmerSpec(14)
+    table = QuotientTable(spec, 3, GF2Hash(spec, seed=2), max_reprobes=7)
+    state = table.init_state()
+    keys = np.arange(64, dtype=np.uint32)[:, None]  # 64 keys, 8 slots
+    state = _insert_batch(table, state, keys, np.ones(64, bool))
+    assert int(jax.device_get(state.spilled)) > 0
+
+
+def test_deterministic_layout():
+    table, spec = _make_table(k=14, l=8)
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 2**28, size=(200, 1), dtype=np.uint32)
+    s1 = _insert_batch(table, table.init_state(), keys, np.ones(200, bool))
+    s2 = _insert_batch(table, table.init_state(), keys, np.ones(200, bool))
+    np.testing.assert_array_equal(np.asarray(s1.keys), np.asarray(s2.keys))
+    np.testing.assert_array_equal(np.asarray(s1.digits), np.asarray(s2.digits))

@@ -1,0 +1,157 @@
+"""Command-line interface mirroring the reference tsxCount CLI.
+
+Reference surface (argp options, reference src/mains/main.cpp:30-40, defaults
+at 409-413): --k (14) --l (26) --s (4) --input --check --checkabort
+--threads --mode {SERIAL,PTHREAD,OMP,CAS,TSX,EXPERIMENTAL,OMP_COUNT}.
+
+TPU-native additions: --backend {sort,table} (the real strategy switch; the
+reference mode strings are accepted as aliases), --dump (full-table TSV
+export in the reference .count format — the reference has no dump), --shards
+(multi-chip table sharding), --batch-words, --n-policy, --hash-seed,
+--identity-hash, --stats-json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tsxcount-tpu",
+        description="TPU-native exact k-mer counter (tsxCount capabilities, "
+        "JAX/XLA/Pallas architecture)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("count", help="count k-mers in a FASTQ/FASTA(.gz) file")
+    c.add_argument("--input", required=True, help="FASTQ/FASTA file, .gz ok")
+    c.add_argument("--k", type=int, default=14, help="k-mer length (default 14)")
+    c.add_argument("--l", type=int, default=26,
+                   help="log2 table capacity (default 26, as the reference)")
+    c.add_argument("--s", type=int, default=4,
+                   help="accepted for reference parity; counts here are "
+                        "unbounded multi-digit, no overflow chain needed")
+    c.add_argument("--threads", type=int, default=0,
+                   help="host packer threads (0 = auto); accepted for "
+                        "reference CLI parity")
+    c.add_argument("--mode", default="SERIAL",
+                   help="reference mode string or backend name "
+                        "(SERIAL/PTHREAD/OMP/CAS/TSX/EXPERIMENTAL/OMP_COUNT "
+                        "or sort/table)")
+    c.add_argument("--check", action="store_true",
+                   help="verify against <input>.<k>.count golden file")
+    c.add_argument("--checkabort", action="store_true",
+                   help="abort on first mismatch (exit 200)")
+    c.add_argument("--golden", default=None,
+                   help="override golden file path for --check")
+    c.add_argument("--dump", default=None,
+                   help="write full counts as kmer\\tcount TSV")
+    c.add_argument("--shards", type=int, default=1,
+                   help="table shards across devices (multi-chip)")
+    c.add_argument("--batch-words", type=int, default=1 << 20,
+                   help="uint32 words per device batch (16 bases/word)")
+    c.add_argument("--n-policy", choices=("drop", "random"), default="drop",
+                   help="N handling: drop windows (default) or random "
+                        "substitution (reference bug-compat)")
+    c.add_argument("--hash-seed", type=int, default=None,
+                   help="GF(2) hash matrix seed (default: fixed)")
+    c.add_argument("--identity-hash", action="store_true",
+                   help="debug: identity hash instead of random GF(2)")
+    c.add_argument("--stats-json", action="store_true",
+                   help="emit stats as one JSON line")
+    c.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu for debugging; "
+                        "default: environment's, normally the TPU)")
+    return p
+
+
+def cmd_count(args: argparse.Namespace) -> int:
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    # deferred imports keep --help snappy and let tests patch the backend
+    from tsxcount_tpu.core.counter import CheckAbort, KmerCounter, TableFull
+    from tsxcount_tpu.ops.gf2 import DEFAULT_SEED
+    from tsxcount_tpu.utils.goldenfile import write_golden
+
+    t0 = time.perf_counter()
+    kwargs = dict(
+        k=args.k,
+        l=args.l,
+        s=args.s,
+        backend=args.mode,
+        batch_words=args.batch_words,
+        n_policy=args.n_policy,
+        hash_seed=DEFAULT_SEED if args.hash_seed is None else args.hash_seed,
+        identity_hash=args.identity_hash,
+    )
+    if args.shards > 1:
+        from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
+
+        counter = ShardedKmerCounter(n_shards=args.shards, **kwargs)
+    else:
+        counter = KmerCounter(**kwargs)
+
+    # config echo, like the reference startup dump (main.cpp:420-427)
+    print(f"k={args.k} l={args.l} s={args.s} mode={args.mode} "
+          f"backend={counter.backend} shards={args.shards} "
+          f"input={args.input}", file=sys.stderr)
+
+    try:
+        counter.count_file(args.input)
+    except TableFull as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 42  # reference exit code (TSXHashMap.h:340-343)
+
+    wall = time.perf_counter() - t0
+    stats = counter.stats()
+    stats["wall_seconds"] = round(wall, 4)
+    stats["kmers_per_second"] = (
+        round(stats["windows"] / wall) if wall > 0 else 0
+    )
+    if args.stats_json:
+        print(json.dumps(stats))
+    else:
+        for key, val in stats.items():
+            print(f"{key}: {val}", file=sys.stderr)
+
+    if args.dump:
+        write_golden(args.dump, counter.to_dict(), sort=True)
+        print(f"dumped {counter.distinct} kmers to {args.dump}",
+              file=sys.stderr)
+
+    if args.check or args.checkabort:
+        golden = args.golden or f"{args.input}.{args.k}.count"
+        try:
+            res = counter.check(golden, abort=args.checkabort)
+        except CheckAbort as e:
+            print(f"CHECK ABORT: {e}", file=sys.stderr)
+            return 200  # reference exit code (main.cpp:287-290)
+        print(
+            f"check: {res.n_matched}/{res.n_checked} matched, "
+            f"{len(res.mismatches)} mismatched, {len(res.missing)} missing, "
+            f"{res.extra_distinct} extra",
+            file=sys.stderr,
+        )
+        if not res.ok:
+            for kmer_str, want, got in (res.mismatches + res.missing)[:20]:
+                print(f"  {kmer_str}: expected {want}, got {got}",
+                      file=sys.stderr)
+            return 1
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "count":
+        return cmd_count(args)
+    raise AssertionError("unreachable")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,294 @@
+"""KmerCounter — end-to-end streaming counting engine.
+
+The TPU-native equivalent of the reference's `countKMers` driver
+(reference src/mains/main.cpp:104-402): stream FASTQ/FASTA records, pack on
+host, and fold fixed-shape batches through a jitted
+extract -> dedupe(sort) -> merge/insert device step.  The host packer and the
+device step overlap naturally through JAX's async dispatch — the analog of
+the reference's reader-task/counter-task pipeline (main.cpp:132-218) without
+threads or locks.
+
+Two backends, selected like the reference's --mode dispatch
+(main.cpp:429-475):
+  * "sort"  — CountStore: sorted-merge count table (speed path);
+  * "table" — QuotientTable: jellyfish-style reprobing table with
+              reconstructible slots (parity path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsxcount_tpu.config import BatchSpec, KmerSpec, counts_to_int
+from tsxcount_tpu.core.store import CountStore
+from tsxcount_tpu.core.table import QuotientTable
+from tsxcount_tpu.io.fastx import read_fastx
+from tsxcount_tpu.io.packer import PackedBatch, ReadPacker
+from tsxcount_tpu.ops.count import count_unique
+from tsxcount_tpu.ops.gf2 import DEFAULT_SEED, GF2Hash
+from tsxcount_tpu.ops.window import expand_vmask, extract_kmers
+from tsxcount_tpu.utils.goldenfile import read_golden
+from tsxcount_tpu.utils.sequence import kmers_to_strings, strings_to_kmers
+
+BACKENDS = ("sort", "table")
+
+# reference CLI mode strings (main.cpp:41-42,53-81) -> backend strategies.
+# The serialization distinctions are meaningless on TPU (no locks to vary);
+# they all map to the two conflict-free backends.
+MODE_TO_BACKEND = {
+    "SERIAL": "sort",
+    "PTHREAD": "sort",
+    "OMP": "sort",
+    "CAS": "table",
+    "TSX": "table",
+    "EXPERIMENTAL": "table",
+    "OMP_COUNT": "sort",
+}
+
+_QUERY_BATCH = 4096
+
+
+@dataclasses.dataclass
+class CheckResult:
+    """Outcome of golden-file verification (reference main.cpp:224-396)."""
+
+    n_checked: int = 0
+    n_matched: int = 0
+    mismatches: list = dataclasses.field(default_factory=list)  # (kmer, want, got)
+    missing: list = dataclasses.field(default_factory=list)     # kmer absent
+    extra_distinct: int = 0  # stored kmers never queried (coverage audit)
+
+    @property
+    def ok(self) -> bool:
+        return (
+            not self.mismatches and not self.missing and self.extra_distinct == 0
+        )
+
+
+class CheckAbort(RuntimeError):
+    """Raised on first mismatch in checkabort mode (exit(200) analog)."""
+
+
+class TableFull(RuntimeError):
+    """Capacity exceeded — analog of the reference's exit(42)
+    (TSXHashMap.h:340-343)."""
+
+
+class KmerCounter:
+    def __init__(
+        self,
+        k: int,
+        l: int = 26,
+        s: int = 4,
+        backend: str = "sort",
+        batch_words: int = 1 << 16,
+        n_policy: str = "drop",
+        hash_seed: int = DEFAULT_SEED,
+        identity_hash: bool = False,
+        max_reprobes: int = 64,
+        seed: int = 0,
+    ):
+        if backend in MODE_TO_BACKEND:
+            backend = MODE_TO_BACKEND[backend]
+        if backend not in BACKENDS:
+            raise ValueError(f"backend must be one of {BACKENDS} or a "
+                             f"reference mode {sorted(MODE_TO_BACKEND)}")
+        self.spec = KmerSpec(k)
+        self.batch = BatchSpec(self.spec, batch_words)
+        self.l = l
+        self.s = s  # accepted for CLI parity; counts are unbounded here
+        self.backend = backend
+        self.n_policy = n_policy
+        self.seed = seed
+        self.hash_fn = GF2Hash(self.spec, seed=hash_seed, identity=identity_hash)
+        if backend == "sort":
+            self.store = CountStore(self.spec, capacity=1 << l)
+            self.state = self.store.init_state()
+        else:
+            self.table = QuotientTable(
+                self.spec, l, self.hash_fn, max_reprobes=max_reprobes
+            )
+            self.state = self.table.init_state()
+        self._step = jax.jit(self._make_step(), donate_argnums=(0,))
+        self._lookup = jax.jit(self._make_lookup())
+        self.packer = ReadPacker(self.batch, n_policy=n_policy, seed=seed)
+        self.batches_processed = 0
+        self.elapsed = 0.0
+
+    # --- jitted device steps ---
+
+    def _make_step(self):
+        batch = self.batch
+
+        if self.backend == "sort":
+            store = self.store
+
+            def step(state, words, vmask):
+                kmers = extract_kmers(words, batch)
+                valid = expand_vmask(vmask, batch)
+                uc = count_unique(kmers, valid)
+                return store.merge(state, uc.keys, uc.counts, uc.valid)
+        else:
+            table = self.table
+
+            def step(state, words, vmask):
+                kmers = extract_kmers(words, batch)
+                valid = expand_vmask(vmask, batch)
+                uc = count_unique(kmers, valid)
+                return table.insert(state, uc.keys, uc.counts, uc.valid)
+
+        return step
+
+    def _make_lookup(self):
+        if self.backend == "sort":
+            return lambda state, q: self.store.lookup(state, q)
+        return lambda state, q: self.table.lookup(state, q)
+
+    # --- ingestion ---
+
+    def _consume(self, batches: Iterator[PackedBatch]) -> None:
+        t0 = time.perf_counter()
+        for pb in batches:
+            self.state = self._step(
+                self.state, jnp.asarray(pb.words), jnp.asarray(pb.vmask)
+            )
+            self.batches_processed += 1
+        self.elapsed += time.perf_counter() - t0
+
+    def add_reads(self, reads: Iterable[str | bytes]) -> None:
+        for seq in reads:
+            self._consume(self.packer.feed(seq))
+
+    def finish(self) -> None:
+        """Flush the final partial batch and check for capacity errors."""
+        self._consume(self.packer.finish())
+        jax.block_until_ready(self.state)
+        if self.backend == "sort":
+            if bool(jax.device_get(self.state.overflowed)):
+                raise TableFull(
+                    f"distinct kmers exceeded capacity 2^{self.l}; rerun with "
+                    f"a larger --l (reference exits 42 here)"
+                )
+        else:
+            spilled = int(jax.device_get(self.state.spilled))
+            if spilled:
+                raise TableFull(
+                    f"{spilled} kmers unresolved after "
+                    f"{self.table.max_reprobes} reprobes; increase --l or "
+                    f"max_reprobes (reference exits 42 here)"
+                )
+
+    def count_file(self, path: str | Path) -> None:
+        self.add_reads(rec.seq for rec in read_fastx(path))
+        self.finish()
+
+    # --- queries & export ---
+
+    @property
+    def distinct(self) -> int:
+        return int(jax.device_get(self.state.n))
+
+    @property
+    def total_kmers(self) -> int:
+        return self.packer.stats.windows
+
+    def get_counts(self, kmers: list[str]) -> list[int]:
+        """Exact counts for a list of kmer strings (0 if absent)."""
+        if not kmers:
+            return []
+        keys = strings_to_kmers(kmers, self.spec)
+        out: list[int] = []
+        n = len(kmers)
+        for off in range(0, n, _QUERY_BATCH):
+            chunk = keys[off : off + _QUERY_BATCH]
+            pad = _QUERY_BATCH - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0
+                )
+            digits, found = self._lookup(self.state, jnp.asarray(chunk))
+            digits = np.asarray(jax.device_get(digits))
+            found = np.asarray(jax.device_get(found))
+            m = min(_QUERY_BATCH, n - off)
+            for i in range(m):
+                out.append(counts_to_int(*digits[i]) if found[i] else 0)
+        return out
+
+    def items(self) -> Iterator[tuple[str, int]]:
+        """Stream (kmer string, count) for every stored k-mer.
+
+        The full-table export the reference lacks (its counts are only
+        reachable via getAllKmers, TSXHashMap.h:660-722) but which
+        check-at-scale requires (SURVEY.md §5 checkpoint note).
+        """
+        if self.backend == "sort":
+            keys, counts, n = self.store.to_host(self.state)
+        else:
+            keys, counts, n = self.table.to_host(self.state)
+        strings = kmers_to_strings(keys, self.spec)
+        for kmer_str, cnt in zip(strings, counts):
+            yield kmer_str, int(cnt)
+
+    def to_dict(self) -> dict[str, int]:
+        return dict(self.items())
+
+    # --- verification (reference --check / --checkabort, main.cpp:224-396) ---
+
+    def check(self, golden_path: str | Path, abort: bool = False,
+              max_report: int = 20) -> CheckResult:
+        golden = read_golden(golden_path)
+        res = CheckResult()
+        kmers = list(golden.keys())
+        counts = self.get_counts(kmers)
+        for kmer_str, got in zip(kmers, counts):
+            want = golden[kmer_str]
+            res.n_checked += 1
+            if got == want:
+                res.n_matched += 1
+            else:
+                entry = (kmer_str, want, got)
+                target = res.missing if got == 0 else res.mismatches
+                if len(target) < max_report:
+                    target.append(entry)
+                if abort:
+                    raise CheckAbort(
+                        f"count mismatch for {kmer_str}: expected {want}, "
+                        f"got {got}"
+                    )
+        # coverage audit: every stored kmer must have been queried
+        # (reference XORs queried positions against kmerStarts,
+        # main.cpp:377-394); with exact-count parity this reduces to the
+        # distinct totals matching.
+        res.extra_distinct = max(0, self.distinct - len(golden))
+        return res
+
+    # --- observability (print_stats analog, TSXHashMap.h:390-395 and the
+    #     final dump at main.cpp:479-501) ---
+
+    def stats(self) -> dict:
+        st = dataclasses.asdict(self.packer.stats)
+        st.update(
+            backend=self.backend,
+            k=self.spec.k,
+            l=self.l,
+            lanes=self.spec.lanes,
+            distinct_kmers=self.distinct,
+            total_kmers=self.total_kmers,
+            batches=self.batches_processed,
+            device_seconds=round(self.elapsed, 4),
+        )
+        if self.backend == "table":
+            st["fill_factor"] = self.table.fill_factor(self.state)
+            st["spilled"] = int(jax.device_get(self.state.spilled))
+        return st
+
+    def print_stats(self) -> None:
+        for key, val in self.stats().items():
+            print(f"{key}: {val}")

@@ -1,0 +1,132 @@
+"""Device-resident sorted count store (the "sort" backend table).
+
+Capability mirror of the reference TSXHashMap read side — exact per-kmer
+counts, distinct-kmer total, full-table export (reference
+src/tsxcount/TSXHashMap.h:548-638 getKmerCount, 645-648 distinct total,
+660-722 getAllKmers) — but represented as a sorted array of
+(key lanes, count digits) pairs merged batch-by-batch, instead of a
+bit-packed reprobing table guarded by TSX/CAS/locks.
+
+Counts are 3 base-2^20 int32 digits (60 bits): the analog of the reference's
+primary s-bit value + overflow-entry digits (TSXHashMap.h:548-638), sized so
+segmented sums can never overflow an int32 lane.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsxcount_tpu.config import COUNT_DIGITS, KmerSpec, counts_to_int
+from tsxcount_tpu.ops.count import (
+    int32_to_digits,
+    renorm_digits,
+    segment_ids,
+    sort_by_keys,
+)
+from tsxcount_tpu.ops.lanes import keys_equal, keys_less
+
+
+class StoreState(NamedTuple):
+    keys: jax.Array    # uint32 [cap, lanes], ascending over used prefix
+    digits: jax.Array  # int32  [cap, 3]
+    used: jax.Array    # bool   [cap]
+    n: jax.Array       # int32  scalar: number of distinct keys
+    overflowed: jax.Array  # bool scalar: capacity was ever exceeded
+
+
+class CountStore:
+    """Fixed-capacity sorted (key -> count) map with pure-functional ops."""
+
+    def __init__(self, spec: KmerSpec, capacity: int):
+        self.spec = spec
+        self.capacity = int(capacity)
+
+    def init_state(self) -> StoreState:
+        cap, lanes = self.capacity, self.spec.lanes
+        return StoreState(
+            keys=jnp.zeros((cap, lanes), jnp.uint32),
+            digits=jnp.zeros((cap, COUNT_DIGITS), jnp.int32),
+            used=jnp.zeros((cap,), jnp.bool_),
+            n=jnp.zeros((), jnp.int32),
+            overflowed=jnp.zeros((), jnp.bool_),
+        )
+
+    def merge(self, state: StoreState, ukeys: jax.Array, ucounts: jax.Array,
+              uvalid: jax.Array) -> StoreState:
+        """Merge a batch histogram (from count_unique) into the store.
+
+        Pure sorted-merge: concat, lexicographic re-sort, segmented digit sum
+        with carry renormalization.  Deterministic; conflict-free.
+        """
+        cap = self.capacity
+        p, lanes = ukeys.shape
+        total = cap + p
+        inv = jnp.concatenate([~state.used, ~uvalid])
+        keys = jnp.concatenate([state.keys, ukeys], axis=0)
+        digits = jnp.concatenate(
+            [state.digits, int32_to_digits(ucounts)], axis=0
+        )
+        inv_s, keys_s, d0, d1, d2 = sort_by_keys(
+            inv, keys, digits[:, 0], digits[:, 1], digits[:, 2]
+        )
+        seg, flag = segment_ids(inv_s, keys_s)
+        valid_s = (inv_s == 0)[:, None]
+        dstack = jnp.stack([d0, d1, d2], axis=1)
+        summed = jnp.zeros((total, COUNT_DIGITS), jnp.int32).at[seg].add(
+            jnp.where(valid_s, dstack, 0)
+        )
+        merged_keys = jnp.zeros((total, lanes), jnp.uint32).at[seg].set(keys_s)
+        n_new = jnp.sum(flag * (inv_s == 0).astype(jnp.int32))
+        overflow = state.overflowed | (n_new > cap)
+        n_kept = jnp.minimum(n_new, cap)
+        return StoreState(
+            keys=merged_keys[:cap],
+            digits=renorm_digits(summed[:cap]),
+            used=jnp.arange(cap, dtype=jnp.int32) < n_kept,
+            n=n_kept,
+            overflowed=overflow,
+        )
+
+    def lookup(self, state: StoreState, queries: jax.Array
+               ) -> tuple[jax.Array, jax.Array]:
+        """Binary-search counts for (N, lanes) query keys.
+
+        Returns (digits int32 [N, 3], found bool [N]).  Replaces the
+        reference's probe-walk lookup (TSXHashMap.h:477-543).
+        """
+        n_q = queries.shape[0]
+        lo = jnp.zeros((n_q,), jnp.int32)
+        hi = jnp.broadcast_to(state.n, (n_q,)).astype(jnp.int32)
+        iters = max(1, self.capacity).bit_length() + 1
+
+        def body(_, lohi):
+            lo, hi = lohi
+            active = lo < hi
+            mid = (lo + hi) >> 1
+            kmid = state.keys[jnp.clip(mid, 0, self.capacity - 1)]
+            lt = keys_less(kmid, queries)
+            lo = jnp.where(active & lt, mid + 1, lo)
+            hi = jnp.where(active & ~lt, mid, hi)
+            return lo, hi
+
+        lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+        idx = jnp.clip(lo, 0, self.capacity - 1)
+        found = (lo < state.n) & keys_equal(state.keys[idx], queries)
+        digits = jnp.where(found[:, None], state.digits[idx], 0)
+        return digits, found
+
+    # --- host-side export ---
+
+    def to_host(self, state: StoreState) -> tuple[np.ndarray, np.ndarray, int]:
+        """Fetch (keys [n, lanes], counts [n] python ints, n)."""
+        n = int(jax.device_get(state.n))
+        keys = np.asarray(jax.device_get(state.keys[:n]))
+        digits = np.asarray(jax.device_get(state.digits[:n]))
+        counts = np.array(
+            [counts_to_int(*d) for d in digits], dtype=object
+        ) if n else np.zeros((0,), dtype=object)
+        return keys, counts, n

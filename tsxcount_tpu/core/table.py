@@ -1,0 +1,218 @@
+"""Quotient/reprobe hash table — the jellyfish-style backend, TPU-native.
+
+Semantics mirror the reference table (reference src/tsxcount/TSXHashMap.h):
+
+  * slot index for reprobe attempt r is (hash mod 2^L + r(r+1)/2) mod 2^L —
+    triangular reprobing (`reprobe` TSXHashMap.h:1046-1054, `getPosition`
+    759-778);
+  * a slot stores [func bits | reprobe] where func = hash >> L, so the low L
+    bits of the hash are *recoverable from the slot index* (`makeKey`
+    TSXHashMap.h:1056-1072, reconstruction 683-712); with the bijective GF(2)
+    hash this makes the whole k-mer reconstructible from the table
+    (`getAllKmers` 660-722);
+  * counts are exact and unbounded (3 base-2^20 digits replace the s-bit
+    value + overflow-chain encoding of TSXHashMap.h:1311-1451 — same
+    observable counts, no chain walk).
+
+What is deliberately *not* mirrored: the serialization machinery.  Where the
+reference arbitrates concurrent slot claims with TSX transactions / CAS /
+locks, this table resolves an entire deduplicated batch per round with a
+deterministic scatter-min claim: every contender writes its index, the
+minimum wins the slot, losers re-probe next round.  Conflict-free,
+deterministic, and batched — no retries on shared memory.
+
+One intentional deviation: reprobe indices are 0-based here (the reference
+starts iReprobes at 1, TSXHashMap.h:189); the encoding stays self-consistent
+and reconstruction-exact.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsxcount_tpu.config import COUNT_DIGITS, KmerSpec, counts_to_int
+from tsxcount_tpu.ops.count import int32_to_digits, renorm_digits
+from tsxcount_tpu.ops.gf2 import GF2Hash
+from tsxcount_tpu.ops.lanes import keys_equal
+
+
+class TableState(NamedTuple):
+    keys: jax.Array    # uint32 [slots, lanes]: (func << L) | reprobe
+    digits: jax.Array  # int32  [slots, 3]
+    used: jax.Array    # bool   [slots]  (the m_iKmerStarts analog)
+    n: jax.Array       # int32 scalar: distinct kmers
+    spilled: jax.Array # int32 scalar: kmers dropped after max reprobes
+
+
+def _triangular(r: jax.Array) -> jax.Array:
+    return (r * (r + 1)) // 2
+
+
+class QuotientTable:
+    """2^L-slot reprobing table over GF(2)-hashed multi-lane keys."""
+
+    def __init__(self, spec: KmerSpec, l_bits: int, hash_fn: GF2Hash,
+                 max_reprobes: int = 64):
+        if not 1 <= l_bits <= 31:
+            raise ValueError("l_bits must be in [1, 31]")
+        if 2 * spec.k <= l_bits:
+            raise ValueError(
+                f"2k={2*spec.k} must exceed l={l_bits} (func field would be empty)"
+            )
+        self.spec = spec
+        self.l_bits = l_bits
+        self.slots = 1 << l_bits
+        self.hash_fn = hash_fn
+        # reference max = 2^L - 1 (TSXHashMap.h:86); we bound the while loop
+        self.max_reprobes = min(max_reprobes, self.slots - 1)
+        self._low_mask = jnp.uint32((1 << l_bits) - 1)
+
+    def init_state(self) -> TableState:
+        s, lanes = self.slots, self.spec.lanes
+        return TableState(
+            keys=jnp.zeros((s, lanes), jnp.uint32),
+            digits=jnp.zeros((s, COUNT_DIGITS), jnp.int32),
+            used=jnp.zeros((s,), jnp.bool_),
+            n=jnp.zeros((), jnp.int32),
+            spilled=jnp.zeros((), jnp.int32),
+        )
+
+    def _hash_parts(self, ukeys: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Returns (pos0 int32 [P], cleared hash lanes uint32 [P, lanes]).
+
+        cleared = hash with the low L bits zeroed = (func << L); OR-ing the
+        reprobe count into lane 0 yields the stored slot key (makeKey analog).
+        """
+        h = self.hash_fn.apply(ukeys)
+        pos0 = (h[:, 0] & self._low_mask).astype(jnp.int32)
+        cleared = h.at[:, 0].set(h[:, 0] & ~self._low_mask)
+        return pos0, cleared
+
+    def insert(self, state: TableState, ukeys: jax.Array, ucounts: jax.Array,
+               uvalid: jax.Array) -> TableState:
+        """Insert a deduplicated batch histogram (keys unique where uvalid)."""
+        p = ukeys.shape[0]
+        s = self.slots
+        pos0, cleared = self._hash_parts(ukeys)
+        add_digits = int32_to_digits(ucounts.astype(jnp.int32))
+        idx_arr = jnp.arange(p, dtype=jnp.int32)
+
+        def cond(carry):
+            r, unresolved, *_ = carry
+            return (r < self.max_reprobes) & jnp.any(unresolved)
+
+        def body(carry):
+            r, unresolved, keys, digits, used, n = carry
+            pos = (pos0 + _triangular(r)) % s
+            slotkey = cleared.at[:, 0].set(
+                cleared[:, 0] | jnp.uint32(r)
+            )
+            used_g = used[pos]
+            key_g = keys[pos]
+            match = unresolved & used_g & keys_equal(key_g, slotkey)
+            empty = unresolved & ~used_g
+            # deterministic claim: lowest contender index wins the slot
+            claims = jnp.full((s,), p, jnp.int32).at[pos].min(
+                jnp.where(empty, idx_arr, p)
+            )
+            winner = empty & (claims[pos] == idx_arr)
+            upd = match | winner
+            safe_upd = jnp.where(upd, pos, s)       # s = OOB -> dropped
+            safe_win = jnp.where(winner, pos, s)
+            digits = digits.at[safe_upd].add(add_digits, mode="drop")
+            keys = keys.at[safe_win].set(slotkey, mode="drop")
+            used = used.at[safe_win].set(True, mode="drop")
+            n = n + jnp.sum(winner.astype(jnp.int32))
+            return r + 1, unresolved & ~upd, keys, digits, used, n
+
+        unresolved0 = uvalid
+        r, unresolved, keys, digits, used, n = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), unresolved0, state.keys, state.digits,
+             state.used, state.n),
+        )
+        spilled = state.spilled + jnp.sum(unresolved.astype(jnp.int32))
+        return TableState(
+            keys=keys,
+            digits=renorm_digits(digits),
+            used=used,
+            n=n,
+            spilled=spilled,
+        )
+
+    def lookup(self, state: TableState, queries: jax.Array
+               ) -> tuple[jax.Array, jax.Array]:
+        """Probe-walk lookup (reference getKmerCountDebug TSXHashMap.h:477-543).
+
+        Probing stops at the first empty slot (slots are never freed, so an
+        empty slot proves absence).  Returns (digits [N,3], found [N]).
+        """
+        n_q = queries.shape[0]
+        pos0, cleared = self._hash_parts(queries)
+        s = self.slots
+
+        def cond(carry):
+            r, active, *_ = carry
+            return (r < self.max_reprobes) & jnp.any(active)
+
+        def body(carry):
+            r, active, out, found = carry
+            pos = (pos0 + _triangular(r)) % s
+            slotkey = cleared.at[:, 0].set(cleared[:, 0] | jnp.uint32(r))
+            used_g = state.used[pos]
+            match = active & used_g & keys_equal(state.keys[pos], slotkey)
+            out = jnp.where(match[:, None], state.digits[pos], out)
+            found = found | match
+            active = active & used_g & ~match
+            return r + 1, active, out, found
+
+        _, _, out, found = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32),
+             jnp.ones((n_q,), jnp.bool_),
+             jnp.zeros((n_q, COUNT_DIGITS), jnp.int32),
+             jnp.zeros((n_q,), jnp.bool_)),
+        )
+        return out, found
+
+    def reconstruct_all(self, state: TableState
+                        ) -> tuple[jax.Array, jax.Array]:
+        """Rebuild every stored k-mer from its slot — getAllKmers analog.
+
+        For slot i holding key = (func << L) | r: the missing low L hash bits
+        are (i - r(r+1)/2) mod 2^L, so hash = (key & ~lowmask) | missing and
+        kmer = inv_apply(hash) (reference TSXHashMap.h:660-722, §3.4).
+        Returns (kmers uint32 [slots, lanes], used bool [slots]).
+        """
+        i = jnp.arange(self.slots, dtype=jnp.int32)
+        key0 = state.keys[:, 0]
+        r = (key0 & self._low_mask).astype(jnp.int32)
+        missing = (i - _triangular(r)) % self.slots
+        hashed = state.keys.at[:, 0].set(
+            (key0 & ~self._low_mask) | missing.astype(jnp.uint32)
+        )
+        kmers = self.hash_fn.inv_apply(hashed)
+        return kmers, state.used
+
+    # --- host export ---
+
+    def to_host(self, state: TableState) -> tuple[np.ndarray, np.ndarray, int]:
+        """Fetch (kmer keys [n, lanes], counts [n] python ints, n)."""
+        kmers, used = jax.device_get(
+            jax.jit(self.reconstruct_all)(state)
+        )
+        used = np.asarray(used)
+        kmers = np.asarray(kmers)[used]
+        digits = np.asarray(jax.device_get(state.digits))[used]
+        counts = np.array(
+            [counts_to_int(*d) for d in digits], dtype=object
+        ) if len(kmers) else np.zeros((0,), dtype=object)
+        return kmers, counts, len(kmers)
+
+    def fill_factor(self, state: TableState) -> float:
+        """Occupancy ratio — the print_stats analog (TSXHashMap.h:390-395)."""
+        return float(jax.device_get(state.n)) / self.slots
