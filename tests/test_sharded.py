@@ -1,0 +1,71 @@
+"""Sharded multi-device counter tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from tsxcount_tpu.core.counter import KmerCounter
+from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
+
+from tests.test_packer import naive_kmers, rand_reads
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_matches_naive(n_shards):
+    rng = np.random.default_rng(n_shards)
+    reads = rand_reads(rng, 60, 5, 120)
+    counter = ShardedKmerCounter(
+        k=9, n_shards=n_shards, l=14, batch_words=32
+    )
+    counter.add_reads(reads)
+    counter.finish()
+    assert counter.to_dict() == dict(naive_kmers(reads, 9))
+
+
+def test_sharded_multiword_keys():
+    rng = np.random.default_rng(77)
+    reads = rand_reads(rng, 16, 80, 300)
+    counter = ShardedKmerCounter(k=63, n_shards=4, l=14, batch_words=64)
+    counter.add_reads(reads)
+    counter.finish()
+    assert counter.to_dict() == dict(naive_kmers(reads, 63))
+
+
+def test_sharded_get_counts_and_stats():
+    rng = np.random.default_rng(5)
+    reads = rand_reads(rng, 40, 20, 80)
+    counter = ShardedKmerCounter(k=7, n_shards=4, l=14, batch_words=32)
+    counter.add_reads(reads)
+    counter.finish()
+    want = naive_kmers(reads, 7)
+    some = list(want)[:40] + ["A" * 7]
+    assert counter.get_counts(some) == [want.get(km, 0) for km in some]
+    st = counter.stats()
+    assert st["n_shards"] == 4
+    assert st["distinct_kmers"] == len(want)
+    assert sum(st["shard_distinct"]) == len(want)
+
+
+def test_sharded_agrees_with_single_device():
+    rng = np.random.default_rng(123)
+    reads = rand_reads(rng, 50, 10, 100)
+    single = KmerCounter(k=11, l=14, batch_words=32)
+    single.add_reads(reads)
+    single.finish()
+    sharded = ShardedKmerCounter(k=11, n_shards=8, l=17, batch_words=32)
+    sharded.add_reads(reads)
+    sharded.finish()
+    assert sharded.to_dict() == single.to_dict()
+
+
+def test_sharded_golden_small_t7(small_t7_fastq, small_t7_golden):
+    """Multi-device bit-exact parity on the reference golden file."""
+    counter = ShardedKmerCounter(
+        k=14, n_shards=8, l=21, batch_words=1 << 12
+    )
+    counter.count_file(small_t7_fastq)
+    from tsxcount_tpu.utils.goldenfile import read_golden
+
+    golden = read_golden(small_t7_golden)
+    assert counter.distinct == len(golden)
+    res = counter.check(small_t7_golden)
+    assert res.ok, (res.mismatches[:3], res.missing[:3], res.extra_distinct)

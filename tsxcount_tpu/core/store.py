@@ -99,8 +99,10 @@ class CountStore:
         reference's probe-walk lookup (TSXHashMap.h:477-543).
         """
         n_q = queries.shape[0]
-        lo = jnp.zeros((n_q,), jnp.int32)
         hi = jnp.broadcast_to(state.n, (n_q,)).astype(jnp.int32)
+        # derive lo from hi (not a fresh zeros) so it inherits hi's
+        # varying-manual-axes under shard_map
+        lo = hi * 0
         iters = max(1, self.capacity).bit_length() + 1
 
         def body(_, lohi):

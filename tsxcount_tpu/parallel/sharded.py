@@ -48,6 +48,16 @@ from tsxcount_tpu.utils.sequence import kmers_to_strings, strings_to_kmers
 shard_map = jax.shard_map
 
 
+def _wrap_scalars(state: StoreState) -> StoreState:
+    """Give scalar state fields a singleton axis so shard_map can stack
+    them into per-shard vectors (P('shard') out_specs need rank >= 1)."""
+    return state._replace(n=state.n[None], overflowed=state.overflowed[None])
+
+
+def _unwrap_scalars(state: StoreState) -> StoreState:
+    return state._replace(n=state.n[0], overflowed=state.overflowed[0])
+
+
 def hash_owner(hashes: jax.Array, spec: KmerSpec, n_shards: int) -> jax.Array:
     """Owner shard of each hashed key: top hash bits mod n_shards.
 
@@ -109,7 +119,7 @@ class ShardedKmerCounter:
 
     def _init_state(self):
         init = shard_map(
-            lambda: self.store.init_state(),
+            lambda: _wrap_scalars(self.store.init_state()),
             mesh=self.mesh,
             in_specs=(),
             out_specs=StoreState(
@@ -130,7 +140,9 @@ class ShardedKmerCounter:
         lanes = spec.lanes
 
         def local_step(state: StoreState, words, vmask):
-            # words: (total_words,) local slice
+            # local slices keep a singleton leading shard axis; drop it
+            words = words[0]
+            vmask = vmask[0]
             kmers = extract_kmers(words, batch)
             valid = expand_vmask(vmask, batch)
             uc = count_unique(kmers, valid)
@@ -192,9 +204,11 @@ class ShardedKmerCounter:
 
             # owner-side exact accumulation (weights = pre-deduped counts)
             uc2 = count_unique(recv_keys, recv_valid, weights=recv_counts)
-            new_state = store.merge(state, uc2.keys, uc2.counts, uc2.valid)
-            total_spill = jax.lax.psum(spill, SHARD_AXIS)
-            return new_state, total_spill
+            new_state = store.merge(
+                _unwrap_scalars(state), uc2.keys, uc2.counts, uc2.valid
+            )
+            total_spill = jax.lax.psum(spill[None], SHARD_AXIS)
+            return _wrap_scalars(new_state), total_spill
 
         def step(state, words_stacked, vmask_stacked):
             return shard_map(
@@ -226,6 +240,10 @@ class ShardedKmerCounter:
         n_shards = self.n_shards
 
         def local_lookup(state: StoreState, queries):
+            # queries are replicated; mark them shard-varying so the binary-
+            # search carry has consistent varying-manual-axes with the
+            # shard-local table state
+            queries = jax.lax.pcast(queries, (SHARD_AXIS,), to="varying")
             digits, found = store.lookup(
                 StoreState(
                     keys=state.keys, digits=state.digits, used=state.used,
@@ -285,7 +303,7 @@ class ShardedKmerCounter:
             vmask = jnp.asarray(np.stack([g.vmask for g in group]))
             self.state, spill = self._step(self.state, words, vmask)
             self.batches_processed += self.n_shards
-            spill = int(jax.device_get(spill))
+            spill = int(np.asarray(jax.device_get(spill)).sum())
             if spill:
                 raise TableFull(
                     f"{spill} routed kmers exceeded per-destination capacity "
@@ -345,8 +363,13 @@ class ShardedKmerCounter:
         return out
 
     def items(self):
-        keys = np.asarray(jax.device_get(self.state.keys))
-        digits = np.asarray(jax.device_get(self.state.digits))
+        cap = self.store.capacity
+        keys = np.asarray(jax.device_get(self.state.keys)).reshape(
+            self.n_shards, cap, self.spec.lanes
+        )
+        digits = np.asarray(jax.device_get(self.state.digits)).reshape(
+            self.n_shards, cap, -1
+        )
         ns = np.asarray(jax.device_get(self.state.n))
         for shard in range(self.n_shards):
             n = int(ns[shard])
