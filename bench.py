@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark: steady-state k-mer counting throughput (kmers/s) on one chip.
+
+Protocol (mirrors the reference's benchmark methodology of timing whole
+counting runs over synthetic FASTQ, reference analyses/perform_analyses.py +
+generateFakeSequences.py: 500-1000 bp random reads + 100-300 bp polyA tail):
+
+  1. generate a deterministic synthetic FASTQ (~18.7M k=14 windows);
+  2. count it once end-to-end (pays jit compile);
+  3. count it again with the same jitted pipeline — the steady-state pass —
+     and report kmers/s from that pass.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+vs_baseline compares against the reference tsxCount binary (SERIAL mode,
+-O3, gcc 12) measured on this machine's CPU over the same synthetic file —
+see REFERENCE_BASELINE below for the measurement provenance.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+# Reference baseline measured on this host (2-vCPU container):
+#   /tmp/refbuild/tsxCount --input=synth.fastq --mode=SERIAL --threads=1
+#   --k=14 --l=26 --s=4   over the same 20k-read synthetic file
+#   (18 760 870 k=14 windows).  See BASELINE_MEASURED.json for raw numbers.
+REFERENCE_BASELINE_KMERS_PER_S = None  # loaded from BASELINE_MEASURED.json
+
+N_READS = 20_000
+
+
+def bench_fastq_path(n_reads: int) -> Path:
+    return Path(f"/tmp/tsxcount_bench.{n_reads}.fastq")
+
+
+def ensure_synth_fastq(path: Path, n_reads: int = N_READS, seed: int = 42):
+    if path.exists():
+        return
+    rng = np.random.default_rng(seed)
+    base = np.array(list("ACGT"))
+    with open(path, "w") as f:
+        for i in range(n_reads):
+            n = int(rng.integers(500, 1000))
+            seq = "".join(base[rng.integers(0, 4, size=n)]) + "A" * int(
+                rng.integers(100, 300)
+            )
+            f.write(f"@read{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+
+
+def load_measured_baseline() -> float | None:
+    p = Path(__file__).parent / "BASELINE_MEASURED.json"
+    if p.exists():
+        data = json.loads(p.read_text())
+        return data.get("reference_serial_kmers_per_s")
+    return REFERENCE_BASELINE_KMERS_PER_S
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=14)
+    ap.add_argument("--l", type=int, default=25)
+    ap.add_argument("--batch-words", type=int, default=1 << 20)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--backend", default="sort")
+    ap.add_argument("--reads", type=int, default=N_READS,
+                    help="synthetic read count (default matches the "
+                         "reference baseline measurement)")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from tsxcount_tpu.core.counter import KmerCounter
+
+    bench_fastq = bench_fastq_path(args.reads)
+    ensure_synth_fastq(bench_fastq, n_reads=args.reads)
+
+    counter = KmerCounter(
+        k=args.k, l=args.l, backend=args.backend,
+        batch_words=args.batch_words,
+    )
+    # pass 1: compile + count
+    t0 = time.perf_counter()
+    counter.count_file(bench_fastq)
+    cold = time.perf_counter() - t0
+    distinct = counter.distinct
+
+    # pass 2: steady state (same jitted step, same shapes)
+    t0 = time.perf_counter()
+    counter.count_file(bench_fastq)
+    jax.block_until_ready(counter.state)
+    warm = time.perf_counter() - t0
+    kmers = counter.packer.stats.windows  # windows of the second pass
+
+    kmers_per_s = kmers / warm
+    baseline = load_measured_baseline()
+    result = {
+        "metric": f"kmers_per_second_k{args.k}",
+        "value": round(kmers_per_s),
+        "unit": "kmers/s/chip",
+        "vs_baseline": (
+            round(kmers_per_s / baseline, 3) if baseline else None
+        ),
+        "k": args.k,
+        "backend": args.backend,
+        "platform": jax.default_backend(),
+        "total_kmers": kmers,
+        "distinct_kmers": distinct,
+        "steady_state_seconds": round(warm, 3),
+        "cold_seconds": round(cold, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

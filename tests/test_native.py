@@ -1,0 +1,98 @@
+"""Native C++ packer parity vs the pure-Python reference packer."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from tsxcount_tpu.config import BatchSpec, KmerSpec
+from tsxcount_tpu.io.native import NativeFileReader, native_available, native_build_error
+from tsxcount_tpu.io.packer import ReadPacker
+
+from tests.test_packer import kmers_from_batches, naive_kmers, rand_reads
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason=f"native packer: {native_build_error()}"
+)
+
+
+def write_fastq(path, reads):
+    with open(path, "w") as f:
+        for i, seq in enumerate(reads):
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+
+
+def python_batches(reads, batch, **kw):
+    packer = ReadPacker(batch, **kw)
+    out = []
+    for seq in reads:
+        out.extend(packer.feed(seq))
+    out.extend(packer.finish())
+    return out, packer.stats
+
+
+@pytest.mark.parametrize("k", [4, 14, 31])
+def test_native_bit_identical_to_python(tmp_path, k):
+    rng = np.random.default_rng(k)
+    reads = rand_reads(rng, 50, 1, 200)
+    path = tmp_path / "t.fastq"
+    write_fastq(path, reads)
+    batch = BatchSpec(KmerSpec(k), capacity_words=64)
+
+    py_batches, py_stats = python_batches(reads, batch)
+    reader = NativeFileReader(path, batch)
+    nat_batches = list(reader)
+
+    assert len(nat_batches) == len(py_batches)
+    for nb, pb in zip(nat_batches, py_batches):
+        np.testing.assert_array_equal(nb.words, pb.words)
+        np.testing.assert_array_equal(nb.vmask, pb.vmask)
+        assert nb.n_valid == pb.n_valid
+    assert reader.stats.reads == py_stats.reads
+    assert reader.stats.reads_skipped == py_stats.reads_skipped
+    assert reader.stats.windows == py_stats.windows
+    assert reader.stats.bases == py_stats.bases
+
+
+def test_native_gzip_and_long_read_split(tmp_path):
+    k = 14
+    rng = np.random.default_rng(9)
+    reads = ["".join(rng.choice(list("ACGT"), size=5000))] + rand_reads(
+        rng, 10, 5, 100
+    )
+    path = tmp_path / "t.fastq.gz"
+    with gzip.open(path, "wt") as f:
+        for i, seq in enumerate(reads):
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+    batch = BatchSpec(KmerSpec(k), capacity_words=32)
+    got = kmers_from_batches(NativeFileReader(path, batch), k)
+    assert got == naive_kmers(reads, k)
+
+
+def test_native_fasta_multiline(tmp_path):
+    k = 6
+    path = tmp_path / "t.fasta"
+    with open(path, "w") as f:
+        f.write(">s1 desc\nACGTACGTAC\nGTACGTACGT\n>s2\nTTTTGGGG\n")
+    reads = ["ACGTACGTACGTACGTACGT", "TTTTGGGG"]
+    batch = BatchSpec(KmerSpec(k), capacity_words=16)
+    got = kmers_from_batches(NativeFileReader(path, batch), k)
+    assert got == naive_kmers(reads, k)
+
+
+def test_native_n_policy_drop(tmp_path):
+    k = 5
+    reads = ["ACGTNACGTACGT", "NNNNN", "ACGTACG"]
+    path = tmp_path / "t.fastq"
+    write_fastq(path, reads)
+    batch = BatchSpec(KmerSpec(k), capacity_words=8)
+    got = kmers_from_batches(NativeFileReader(path, batch), k)
+    assert got == naive_kmers(reads, k)
+
+
+def test_native_malformed_fastq(tmp_path):
+    path = tmp_path / "bad.fastq"
+    path.write_text("not a fastq\nACGT\n")
+    batch = BatchSpec(KmerSpec(4), capacity_words=8)
+    with pytest.raises(ValueError, match="parse error"):
+        list(NativeFileReader(path, batch))

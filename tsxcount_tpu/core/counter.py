@@ -170,6 +170,9 @@ class KmerCounter:
         """Flush the final partial batch and check for capacity errors."""
         self._consume(self.packer.finish())
         jax.block_until_ready(self.state)
+        self._check_capacity()
+
+    def _check_capacity(self) -> None:
         if self.backend == "sort":
             if bool(jax.device_get(self.state.overflowed)):
                 raise TableFull(
@@ -185,9 +188,29 @@ class KmerCounter:
                     f"max_reprobes (reference exits 42 here)"
                 )
 
-    def count_file(self, path: str | Path) -> None:
-        self.add_reads(rec.seq for rec in read_fastx(path))
-        self.finish()
+    def count_file(self, path: str | Path, use_native: bool | None = None
+                   ) -> None:
+        """Count a FASTQ/FASTA(.gz) file.
+
+        use_native: True = require the C++ packer, False = pure Python,
+        None (default) = native if buildable, else Python fallback.
+        """
+        from tsxcount_tpu.io.native import NativeFileReader, native_available
+
+        if use_native is None:
+            use_native = native_available()
+        if use_native:
+            reader = NativeFileReader(
+                path, self.batch, n_policy=self.n_policy, seed=self.seed
+            )
+            self._consume(iter(reader))
+            # adopt the native reader's stats as the packer stats
+            self.packer.stats = reader.stats
+            jax.block_until_ready(self.state)
+            self._check_capacity()
+        else:
+            self.add_reads(rec.seq for rec in read_fastx(path))
+            self.finish()
 
     # --- queries & export ---
 
