@@ -133,7 +133,7 @@ class KmerCounter:
             def step(state, words, vmask):
                 kmers = extract_kmers(words, batch)
                 valid = expand_vmask(vmask, batch)
-                uc = count_unique(kmers, valid)
+                uc = count_unique(kmers, valid, spec=batch.spec)
                 return store.merge(state, uc.keys, uc.counts, uc.valid)
         else:
             table = self.table
@@ -141,7 +141,7 @@ class KmerCounter:
             def step(state, words, vmask):
                 kmers = extract_kmers(words, batch)
                 valid = expand_vmask(vmask, batch)
-                uc = count_unique(kmers, valid)
+                uc = count_unique(kmers, valid, spec=batch.spec)
                 return table.insert(state, uc.keys, uc.counts, uc.valid)
 
         return step

@@ -22,10 +22,13 @@ import numpy as np
 
 from tsxcount_tpu.config import COUNT_DIGITS, KmerSpec, counts_to_int
 from tsxcount_tpu.ops.count import (
+    _boundary_flags,
+    _boundary_positions,
+    _invalid_bits,
     int32_to_digits,
+    pack_flag_key,
     renorm_digits,
-    segment_ids,
-    sort_by_keys,
+    unpack_flag_key,
 )
 from tsxcount_tpu.ops.lanes import keys_equal, keys_less
 
@@ -59,8 +62,11 @@ class CountStore:
               uvalid: jax.Array) -> StoreState:
         """Merge a batch histogram (from count_unique) into the store.
 
-        Pure sorted-merge: concat, lexicographic re-sort, segmented digit sum
-        with carry renormalization.  Deterministic; conflict-free.
+        Scatter-free sorted-merge: concat, one lexicographic sort with a row
+        index payload, then — since both inputs are deduped, every key run
+        has at most 2 rows — the per-key digit total is a single shifted
+        add, and boundary rows are compacted to the front with the
+        position-sort trick.  Deterministic; conflict-free; no scatter HLO.
         """
         cap = self.capacity
         p, lanes = ukeys.shape
@@ -68,24 +74,31 @@ class CountStore:
         inv = jnp.concatenate([~state.used, ~uvalid])
         keys = jnp.concatenate([state.keys, ukeys], axis=0)
         digits = jnp.concatenate(
-            [state.digits, int32_to_digits(ucounts)], axis=0
+            [state.digits, int32_to_digits(ucounts.astype(jnp.int32))], axis=0
         )
-        inv_s, keys_s, d0, d1, d2 = sort_by_keys(
-            inv, keys, digits[:, 0], digits[:, 1], digits[:, 2]
+        ops = pack_flag_key(keys, inv, self.spec)
+        idx = jnp.arange(total, dtype=jnp.int32)
+        *ops_s, idx_s = jax.lax.sort(ops + (idx,), num_keys=len(ops))
+        d = digits[idx_s]
+        flag = _boundary_flags(ops_s)
+        next_same = jnp.concatenate(
+            [~flag[1:], jnp.zeros((1,), jnp.bool_)]
         )
-        seg, flag = segment_ids(inv_s, keys_s)
-        valid_s = (inv_s == 0)[:, None]
-        dstack = jnp.stack([d0, d1, d2], axis=1)
-        summed = jnp.zeros((total, COUNT_DIGITS), jnp.int32).at[seg].add(
-            jnp.where(valid_s, dstack, 0)
+        d_next = jnp.concatenate(
+            [d[1:], jnp.zeros((1, COUNT_DIGITS), jnp.int32)], axis=0
         )
-        merged_keys = jnp.zeros((total, lanes), jnp.uint32).at[seg].set(keys_s)
-        n_new = jnp.sum(flag * (inv_s == 0).astype(jnp.int32))
+        dsum = d + jnp.where(next_same[:, None], d_next, 0)
+        pos = _boundary_positions(flag)[:cap]
+        pos_c = jnp.clip(pos, 0, total - 1)
+        rep_ops = [op[pos_c] for op in ops_s]
+        new_keys, _ = unpack_flag_key(rep_ops, self.spec)
+        inv_rows = _invalid_bits(ops_s[0], ops_s, self.spec)
+        n_new = jnp.sum(flag & ~inv_rows, dtype=jnp.int32)
         overflow = state.overflowed | (n_new > cap)
         n_kept = jnp.minimum(n_new, cap)
         return StoreState(
-            keys=merged_keys[:cap],
-            digits=renorm_digits(summed[:cap]),
+            keys=new_keys,
+            digits=renorm_digits(dsum[pos_c]),
             used=jnp.arange(cap, dtype=jnp.int32) < n_kept,
             n=n_kept,
             overflowed=overflow,

@@ -1,25 +1,38 @@
-"""Sort + segmented-sum exact counting primitives.
+"""Sort + segmented-reduction exact counting primitives (scatter-free).
 
 This is the TPU replacement for the reference's entire concurrency story:
 instead of serializing concurrent increments on a shared bit-packed table
 (TSX transactions / CAS / locks — reference src/tsxcount/TSXHashMapTSXPerf.h,
 TSXHashMapCAS.h etc.), occurrences of equal k-mers are brought together by a
-lexicographic multi-lane sort and reduced with a conflict-free segmented sum.
-Exact, deterministic, no contention by construction.
+lexicographic sort and reduced with conflict-free vector ops.  Exact,
+deterministic, no contention by construction.
 
-Key ordering: uint32 lanes little-endian (lane 0 least significant); the sort
-is keyed on (invalid_flag, lane_{L-1}, ..., lane_0) so invalid windows sink to
-the end and can never collide with the all-ones poly-T k-mer.
+Performance design (TPU):
+  * the validity flag is packed into the spare high bits of the key itself,
+    so a k<=15 batch sorts a SINGLE uint32 operand (k<=31: two), and invalid
+    windows sort to the end for free;
+  * no scatters anywhere on the hot path — XLA TPU scatter serializes.
+    Segment compaction uses the position-sort trick: sorting
+    `where(is_boundary, position, P)` yields the boundary positions densely
+    packed at the front, so per-segment counts are adjacent differences and
+    per-segment representatives are plain gathers;
+  * bounded-fanin segment sums (merge: <=2 rows per key; sharded receive:
+    <=n_shards rows) use log2-step shifted adds instead of a general scan.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
 
-from tsxcount_tpu.config import COUNT_DIGIT_BITS, COUNT_DIGIT_MASK, COUNT_DIGITS
+from tsxcount_tpu.config import (
+    COUNT_DIGIT_BITS,
+    COUNT_DIGIT_MASK,
+    COUNT_DIGITS,
+    KmerSpec,
+)
 
 
 class UniqueCounts(NamedTuple):
@@ -35,47 +48,148 @@ class UniqueCounts(NamedTuple):
     n_unique: jax.Array # int32  scalar
 
 
-def sort_by_keys(invalid: jax.Array, keys: jax.Array, *payload: jax.Array):
-    """Lexicographic sort by (invalid, key lanes msb..lsb); payloads ride along.
+# --- packed sort keys -------------------------------------------------------
 
-    Returns (invalid_sorted, keys_sorted, *payload_sorted).
+def flag_ops(spec: KmerSpec) -> int:
+    """Number of uint32 sort operands for (invalid flag | key)."""
+    return spec.lanes if spec.top_lane_bits < 32 else spec.lanes + 1
+
+
+def pack_flag_key(kmers: jax.Array, invalid: jax.Array,
+                  spec: KmerSpec) -> tuple[jax.Array, ...]:
+    """(P, lanes) keys + invalid flag -> msb-first uint32 sort operands.
+
+    The flag occupies the first spare bit above the key, making it the
+    most significant sort bit: invalid rows sink to the end and can never
+    alias a real k-mer (including all-ones poly-T).
     """
-    lanes = keys.shape[1]
-    ops = (invalid.astype(jnp.uint32),) + tuple(
-        keys[:, j] for j in reversed(range(lanes))
-    ) + tuple(payload)
-    out = jax.lax.sort(ops, num_keys=1 + lanes)
-    inv_s = out[0]
-    keys_s = jnp.stack(tuple(reversed(out[1 : 1 + lanes])), axis=1)
-    return (inv_s, keys_s) + tuple(out[1 + lanes :])
+    lanes = kmers.shape[-1]
+    inv = invalid.astype(jnp.uint32)
+    if spec.top_lane_bits < 32:
+        top = kmers[..., lanes - 1] | (inv << spec.top_lane_bits)
+        rest = tuple(kmers[..., j] for j in reversed(range(lanes - 1)))
+        return (top,) + rest
+    return (inv,) + tuple(kmers[..., j] for j in reversed(range(lanes)))
 
 
-def segment_ids(inv_s: jax.Array, keys_s: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Segment ids for a sorted key stream; returns (seg, new_flag int32)."""
-    neq = jnp.any(keys_s[1:] != keys_s[:-1], axis=1) | (inv_s[1:] != inv_s[:-1])
-    flag = jnp.concatenate([jnp.ones((1,), jnp.int32), neq.astype(jnp.int32)])
-    seg = jnp.cumsum(flag) - 1
-    return seg, flag
+def unpack_flag_key(ops: Sequence[jax.Array],
+                    spec: KmerSpec) -> tuple[jax.Array, jax.Array]:
+    """Inverse of pack_flag_key -> (keys (P, lanes), invalid bool)."""
+    lanes = spec.lanes
+    if spec.top_lane_bits < 32:
+        top = ops[0]
+        invalid = (top >> spec.top_lane_bits) != 0
+        top_lane = top & jnp.uint32(spec.top_lane_mask)
+        lanes_list = list(reversed(ops[1:lanes])) + [top_lane]
+    else:
+        invalid = ops[0] != 0
+        lanes_list = list(reversed(ops[1 : lanes + 1]))
+    return jnp.stack(lanes_list, axis=-1), invalid
+
+
+# --- segment machinery ------------------------------------------------------
+
+def _boundary_flags(ops_sorted: Sequence[jax.Array]) -> jax.Array:
+    """bool [P]: row starts a new run of equal sort keys."""
+    neq = ops_sorted[0][1:] != ops_sorted[0][:-1]
+    for op in ops_sorted[1:]:
+        neq = neq | (op[1:] != op[:-1])
+    return jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
+
+
+def _boundary_positions(flag: jax.Array) -> jax.Array:
+    """int32 [P]: positions of boundary rows, densely packed ascending;
+    tail filled with P.  One int32 sort, no cumsum, no scatter."""
+    p = flag.shape[0]
+    arange = jnp.arange(p, dtype=jnp.int32)
+    key = jnp.where(flag, arange, p)
+    (pos,) = jax.lax.sort((key,), num_keys=1)
+    return pos
 
 
 def count_unique(kmers: jax.Array, valid: jax.Array,
-                 weights: jax.Array | None = None) -> UniqueCounts:
+                 weights: jax.Array | None = None,
+                 spec: KmerSpec | None = None,
+                 max_multiplicity: int | None = None) -> UniqueCounts:
     """Exact histogram of the valid rows of `kmers`.
 
-    weights: optional int32 per-row multiplicities (default 1).
+    weights: optional int32 per-row multiplicities (default 1).  With
+    weights, max_multiplicity bounds how many rows can share one key
+    (drives the log-step segmented sum); without, counts are adjacent
+    differences of boundary positions (no scan at all).
     """
     p, lanes = kmers.shape
-    inv = (~valid).astype(jnp.uint32)
-    w = jnp.ones((p,), jnp.int32) if weights is None else weights.astype(jnp.int32)
-    inv_s, keys_s, w_s = sort_by_keys(inv, kmers, w)
-    seg, flag = segment_ids(inv_s, keys_s)
-    is_valid = inv_s == 0
-    counts = jnp.zeros((p,), jnp.int32).at[seg].add(jnp.where(is_valid, w_s, 0))
-    ukeys = jnp.zeros((p, lanes), jnp.uint32).at[seg].set(keys_s)
-    n_unique = jnp.sum(flag * is_valid.astype(jnp.int32))
-    uvalid = jnp.arange(p, dtype=jnp.int32) < n_unique
-    return UniqueCounts(keys=ukeys, counts=counts, valid=uvalid, n_unique=n_unique)
+    if spec is None:
+        spec = _spec_from_lanes(lanes)
+    ops = pack_flag_key(kmers, ~valid, spec)
 
+    if weights is None:
+        ops_sorted = jax.lax.sort(ops, num_keys=len(ops))
+        flag = _boundary_flags(ops_sorted)
+        pos = _boundary_positions(flag)
+        pos_next = jnp.concatenate([pos[1:], jnp.full((1,), p, jnp.int32)])
+        counts = pos_next - pos  # garbage (=0) beyond the last segment
+        rep = [op[jnp.clip(pos, 0, p - 1)] for op in ops_sorted]
+        ukeys, uinvalid = unpack_flag_key(rep, spec)
+        inv_sorted0 = _invalid_bits(ops_sorted[0], ops_sorted, spec)
+        n_unique = jnp.sum(flag & ~inv_sorted0, dtype=jnp.int32)
+    else:
+        idx = jnp.arange(p, dtype=jnp.int32)
+        *ops_sorted, idx_s = jax.lax.sort(ops + (idx,), num_keys=len(ops))
+        w_s = weights.astype(jnp.int32)[idx_s]
+        flag = _boundary_flags(ops_sorted)
+        # inclusive segmented sum, bounded fanin -> log2 steps of shifted adds
+        fanin = max_multiplicity or p
+        w_s = _segmented_inclusive_sum(w_s, flag, fanin)
+        pos = _boundary_positions(flag)
+        pos_next = jnp.concatenate([pos[1:], jnp.full((1,), p, jnp.int32)])
+        last = jnp.clip(pos_next - 1, 0, p - 1)  # last row holds the total
+        counts = jnp.where(pos_next > pos, w_s[last], 0)
+        rep = [op[jnp.clip(pos, 0, p - 1)] for op in ops_sorted]
+        ukeys, uinvalid = unpack_flag_key(rep, spec)
+        inv_sorted0 = _invalid_bits(ops_sorted[0], ops_sorted, spec)
+        n_unique = jnp.sum(flag & ~inv_sorted0, dtype=jnp.int32)
+
+    uvalid = jnp.arange(p, dtype=jnp.int32) < n_unique
+    return UniqueCounts(
+        keys=ukeys, counts=counts, valid=uvalid, n_unique=n_unique
+    )
+
+
+def _spec_from_lanes(lanes: int) -> KmerSpec:
+    # fallback spec with a full top lane (flag goes to an extra operand);
+    # callers on the hot path pass the real spec for the packed fast path
+    return KmerSpec(16 * lanes)
+
+
+def _invalid_bits(top_sorted: jax.Array, ops_sorted, spec: KmerSpec
+                  ) -> jax.Array:
+    """Per-row invalid flag from the sorted msb operand."""
+    if spec.top_lane_bits < 32:
+        return (top_sorted >> spec.top_lane_bits) != 0
+    return ops_sorted[0] != 0
+
+
+def _segmented_inclusive_sum(vals: jax.Array, flag: jax.Array,
+                             max_fanin: int) -> jax.Array:
+    """Inclusive segmented sum over runs delimited by flag (True = start).
+
+    log2(max_fanin) shifted-add steps; max_fanin is a static bound on the
+    longest run.  Pure elementwise/shift ops — no scan HLO, no scatter.
+    """
+    p = vals.shape[0]
+    x, f = vals, flag
+    d = 1
+    while d < max_fanin and d < p:
+        x_shift = jnp.concatenate([jnp.zeros((d,), x.dtype), x[:-d]])
+        f_shift = jnp.concatenate([jnp.ones((d,), jnp.bool_), f[:-d]])
+        x = x + jnp.where(f, 0, x_shift)
+        f = f | f_shift
+        d *= 2
+    return x
+
+
+# --- count digits -----------------------------------------------------------
 
 def renorm_digits(d: jax.Array) -> jax.Array:
     """Propagate carries through base-2^20 digit lanes (int32 [..., 3]).
@@ -100,6 +214,29 @@ def int32_to_digits(c: jax.Array) -> jax.Array:
     d1 = (c >> COUNT_DIGIT_BITS) & COUNT_DIGIT_MASK
     d2 = jnp.zeros_like(c)
     return jnp.stack([d0, d1, d2], axis=-1)
+
+
+# --- legacy helpers kept for the quotient table & tests ---------------------
+
+def sort_by_keys(invalid: jax.Array, keys: jax.Array, *payload: jax.Array):
+    """Lexicographic sort by (invalid, key lanes msb..lsb); payloads ride
+    along.  Returns (invalid_sorted, keys_sorted, *payload_sorted)."""
+    lanes = keys.shape[1]
+    ops = (invalid.astype(jnp.uint32),) + tuple(
+        keys[:, j] for j in reversed(range(lanes))
+    ) + tuple(payload)
+    out = jax.lax.sort(ops, num_keys=1 + lanes)
+    inv_s = out[0]
+    keys_s = jnp.stack(tuple(reversed(out[1 : 1 + lanes])), axis=1)
+    return (inv_s, keys_s) + tuple(out[1 + lanes :])
+
+
+def segment_ids(inv_s: jax.Array, keys_s: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Segment ids for a sorted key stream; returns (seg, new_flag int32)."""
+    neq = jnp.any(keys_s[1:] != keys_s[:-1], axis=1) | (inv_s[1:] != inv_s[:-1])
+    flag = jnp.concatenate([jnp.ones((1,), jnp.int32), neq.astype(jnp.int32)])
+    seg = jnp.cumsum(flag) - 1
+    return seg, flag
 
 
 assert COUNT_DIGITS == 3, "digit helpers assume 3 lanes"

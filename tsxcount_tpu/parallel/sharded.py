@@ -145,7 +145,7 @@ class ShardedKmerCounter:
             vmask = vmask[0]
             kmers = extract_kmers(words, batch)
             valid = expand_vmask(vmask, batch)
-            uc = count_unique(kmers, valid)
+            uc = count_unique(kmers, valid, spec=spec)
             p = uc.keys.shape[0]
 
             # owner of each unique key
@@ -203,7 +203,8 @@ class ShardedKmerCounter:
             recv_valid = slot_rank < recv_n[src_of_slot]
 
             # owner-side exact accumulation (weights = pre-deduped counts)
-            uc2 = count_unique(recv_keys, recv_valid, weights=recv_counts)
+            uc2 = count_unique(recv_keys, recv_valid, weights=recv_counts,
+                               spec=spec, max_multiplicity=n_shards)
             new_state = store.merge(
                 _unwrap_scalars(state), uc2.keys, uc2.counts, uc2.valid
             )
@@ -277,19 +278,42 @@ class ShardedKmerCounter:
 
     # --- ingestion (KmerCounter-compatible surface) ---
 
+    @property
+    def _local_shards(self) -> int:
+        """Shards fed by this process (== n_shards in single-controller)."""
+        return max(
+            1, self.n_shards // max(1, jax.process_count())
+        ) if jax.process_count() > 1 else self.n_shards
+
+    def _to_global(self, stacked: np.ndarray):
+        """Host-local (local_shards, ...) batch -> global sharded array.
+
+        Multi-host: every process contributes its slice (SPMD, one global
+        array over DCN); single-host: plain device put.
+        """
+        if jax.process_count() == 1:
+            return jnp.asarray(stacked)
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as PS
+
+        return jax.make_array_from_process_local_data(
+            NamedSharding(self.mesh, PS(SHARD_AXIS)), stacked
+        )
+
     def _dispatch_pending(self, force: bool = False) -> None:
         if not self._pending:
             return
-        if len(self._pending) < self.n_shards and not force:
+        n_local = self._local_shards
+        if len(self._pending) < n_local and not force:
             return
         t0 = time.perf_counter()
         while self._pending:
-            group = self._pending[: self.n_shards]
-            self._pending = self._pending[self.n_shards :]
-            if len(group) < self.n_shards and not force:
+            group = self._pending[:n_local]
+            self._pending = self._pending[n_local:]
+            if len(group) < n_local and not force:
                 self._pending = group
                 break
-            while len(group) < self.n_shards:
+            while len(group) < n_local:
                 group.append(
                     dataclasses.replace(
                         group[0],
@@ -299,8 +323,8 @@ class ShardedKmerCounter:
                         n_bases=0,
                     )
                 )
-            words = jnp.asarray(np.stack([g.words for g in group]))
-            vmask = jnp.asarray(np.stack([g.vmask for g in group]))
+            words = self._to_global(np.stack([g.words for g in group]))
+            vmask = self._to_global(np.stack([g.vmask for g in group]))
             self.state, spill = self._step(self.state, words, vmask)
             self.batches_processed += self.n_shards
             spill = int(np.asarray(jax.device_get(spill)).sum())
