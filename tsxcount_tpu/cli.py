@@ -148,8 +148,15 @@ def cmd_count(args: argparse.Namespace) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if args.command == "count":
-        return cmd_count(args)
+    try:
+        if args.command == "count":
+            return cmd_count(args)
+    except FileNotFoundError as e:
+        print(f"ERROR: file not found: {e.filename or e}", file=sys.stderr)
+        return 2
+    except ValueError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 2
     raise AssertionError("unreachable")
 
 

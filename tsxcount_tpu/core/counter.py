@@ -94,6 +94,7 @@ class KmerCounter:
         identity_hash: bool = False,
         max_reprobes: int = 64,
         seed: int = 0,
+        merge_every: int = 4,
     ):
         if backend in MODE_TO_BACKEND:
             backend = MODE_TO_BACKEND[backend]
@@ -116,7 +117,27 @@ class KmerCounter:
                 self.spec, l, self.hash_fn, max_reprobes=max_reprobes
             )
             self.state = self.table.init_state()
-        self._step = jax.jit(self._make_step(), donate_argnums=(0,))
+        self.merge_every = max(1, merge_every) if backend == "sort" else 1
+        if backend == "sort":
+            # deferred merging: dedupe each batch on device, fold R batch
+            # histograms into the store with ONE sort (merge_stacked) —
+            # amortizes the O(capacity) re-sort across R batches
+            batch = self.batch
+
+            def dedupe(words, vmask):
+                kmers = extract_kmers(words, batch)
+                valid = expand_vmask(vmask, batch)
+                uc = count_unique(kmers, valid, spec=batch.spec)
+                return uc.keys, uc.counts, uc.valid
+
+            self._dedupe = jax.jit(dedupe)
+            self._merge = jax.jit(
+                lambda state, k, c, v: self.store.merge_stacked(state, k, c, v),
+                donate_argnums=(0,),
+            )
+            self._pending_uc: list = []
+        else:
+            self._step = jax.jit(self._make_step(), donate_argnums=(0,))
         self._lookup = jax.jit(self._make_lookup())
         self.packer = ReadPacker(self.batch, n_policy=n_policy, seed=seed)
         self.batches_processed = 0
@@ -126,25 +147,34 @@ class KmerCounter:
 
     def _make_step(self):
         batch = self.batch
+        table = self.table
 
-        if self.backend == "sort":
-            store = self.store
-
-            def step(state, words, vmask):
-                kmers = extract_kmers(words, batch)
-                valid = expand_vmask(vmask, batch)
-                uc = count_unique(kmers, valid, spec=batch.spec)
-                return store.merge(state, uc.keys, uc.counts, uc.valid)
-        else:
-            table = self.table
-
-            def step(state, words, vmask):
-                kmers = extract_kmers(words, batch)
-                valid = expand_vmask(vmask, batch)
-                uc = count_unique(kmers, valid, spec=batch.spec)
-                return table.insert(state, uc.keys, uc.counts, uc.valid)
+        def step(state, words, vmask):
+            kmers = extract_kmers(words, batch)
+            valid = expand_vmask(vmask, batch)
+            uc = count_unique(kmers, valid, spec=batch.spec)
+            return table.insert(state, uc.keys, uc.counts, uc.valid)
 
         return step
+
+    def _flush_pending(self) -> None:
+        """Fold pending batch histograms into the store (sort backend)."""
+        if self.backend != "sort" or not self._pending_uc:
+            return
+        pend = self._pending_uc
+        self._pending_uc = []
+        while len(pend) < self.merge_every:  # pad to the compiled R
+            k, c, v = pend[0]
+            pend.append(
+                (jnp.zeros_like(k), jnp.zeros_like(c),
+                 jnp.zeros_like(v))
+            )
+        self.state = self._merge(
+            self.state,
+            jnp.stack([p[0] for p in pend]),
+            jnp.stack([p[1] for p in pend]),
+            jnp.stack([p[2] for p in pend]),
+        )
 
     def _make_lookup(self):
         if self.backend == "sort":
@@ -156,9 +186,14 @@ class KmerCounter:
     def _consume(self, batches: Iterator[PackedBatch]) -> None:
         t0 = time.perf_counter()
         for pb in batches:
-            self.state = self._step(
-                self.state, jnp.asarray(pb.words), jnp.asarray(pb.vmask)
-            )
+            words = jnp.asarray(pb.words)
+            vmask = jnp.asarray(pb.vmask)
+            if self.backend == "sort":
+                self._pending_uc.append(self._dedupe(words, vmask))
+                if len(self._pending_uc) >= self.merge_every:
+                    self._flush_pending()
+            else:
+                self.state = self._step(self.state, words, vmask)
             self.batches_processed += 1
         self.elapsed += time.perf_counter() - t0
 
@@ -169,6 +204,7 @@ class KmerCounter:
     def finish(self) -> None:
         """Flush the final partial batch and check for capacity errors."""
         self._consume(self.packer.finish())
+        self._flush_pending()
         jax.block_until_ready(self.state)
         self._check_capacity()
 
@@ -204,6 +240,7 @@ class KmerCounter:
                 path, self.batch, n_policy=self.n_policy, seed=self.seed
             )
             self._consume(iter(reader))
+            self._flush_pending()
             # adopt the native reader's stats as the packer stats
             self.packer.stats = reader.stats
             jax.block_until_ready(self.state)
@@ -216,6 +253,7 @@ class KmerCounter:
 
     @property
     def distinct(self) -> int:
+        self._flush_pending()
         return int(jax.device_get(self.state.n))
 
     @property
@@ -226,6 +264,7 @@ class KmerCounter:
         """Exact counts for a list of kmer strings (0 if absent)."""
         if not kmers:
             return []
+        self._flush_pending()
         keys = strings_to_kmers(kmers, self.spec)
         out: list[int] = []
         n = len(kmers)
@@ -251,6 +290,7 @@ class KmerCounter:
         reachable via getAllKmers, TSXHashMap.h:660-722) but which
         check-at-scale requires (SURVEY.md §5 checkpoint note).
         """
+        self._flush_pending()
         if self.backend == "sort":
             keys, counts, n = self.store.to_host(self.state)
         else:
@@ -310,6 +350,12 @@ class KmerCounter:
         if self.backend == "table":
             st["fill_factor"] = self.table.fill_factor(self.state)
             st["spilled"] = int(jax.device_get(self.state.spilled))
+            # reprobe-depth histogram (the RTM abort-code histogram analog,
+            # reference TSXHashMapTSXPerf.h:195-239): trailing zeros trimmed
+            hist = [int(x) for x in jax.device_get(self.state.probe_hist)]
+            while hist and hist[-1] == 0:
+                hist.pop()
+            st["probe_histogram"] = hist
         return st
 
     def print_stats(self) -> None:

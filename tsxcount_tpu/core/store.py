@@ -25,6 +25,7 @@ from tsxcount_tpu.ops.count import (
     _boundary_flags,
     _boundary_positions,
     _invalid_bits,
+    _segmented_inclusive_sum,
     int32_to_digits,
     pack_flag_key,
     renorm_digits,
@@ -60,36 +61,43 @@ class CountStore:
 
     def merge(self, state: StoreState, ukeys: jax.Array, ucounts: jax.Array,
               uvalid: jax.Array) -> StoreState:
-        """Merge a batch histogram (from count_unique) into the store.
+        """Merge one batch histogram (from count_unique) into the store."""
+        return self.merge_stacked(
+            state, ukeys[None], ucounts[None], uvalid[None]
+        )
 
-        Scatter-free sorted-merge: concat, one lexicographic sort with a row
-        index payload, then — since both inputs are deduped, every key run
-        has at most 2 rows — the per-key digit total is a single shifted
-        add, and boundary rows are compacted to the front with the
-        position-sort trick.  Deterministic; conflict-free; no scatter HLO.
+    def merge_stacked(self, state: StoreState, ukeys: jax.Array,
+                      ucounts: jax.Array, uvalid: jax.Array) -> StoreState:
+        """Merge R deduped batch histograms into the store in ONE sort.
+
+        ukeys [R, P, lanes], ucounts [R, P], uvalid [R, P].  Scatter-free
+        sorted-merge: concat, one lexicographic sort with a row-index
+        payload; every key run has at most R+1 rows (each input is deduped),
+        so per-key digit totals come from a log2(R+1)-step segmented sum,
+        and boundary rows are compacted to the front with the position-sort
+        trick.  Deferring merges this way amortizes the O(capacity) re-sort
+        over R batches — the streaming cost is O(P log R + capacity/R) per
+        batch instead of O(capacity).
         """
         cap = self.capacity
-        p, lanes = ukeys.shape
-        total = cap + p
-        inv = jnp.concatenate([~state.used, ~uvalid])
-        keys = jnp.concatenate([state.keys, ukeys], axis=0)
+        r, p, lanes = ukeys.shape
+        total = cap + r * p
+        inv = jnp.concatenate([~state.used, ~uvalid.reshape(-1)])
+        keys = jnp.concatenate([state.keys, ukeys.reshape(-1, lanes)], axis=0)
         digits = jnp.concatenate(
-            [state.digits, int32_to_digits(ucounts.astype(jnp.int32))], axis=0
+            [state.digits,
+             int32_to_digits(ucounts.reshape(-1).astype(jnp.int32))], axis=0
         )
         ops = pack_flag_key(keys, inv, self.spec)
         idx = jnp.arange(total, dtype=jnp.int32)
         *ops_s, idx_s = jax.lax.sort(ops + (idx,), num_keys=len(ops))
         d = digits[idx_s]
         flag = _boundary_flags(ops_s)
-        next_same = jnp.concatenate(
-            [~flag[1:], jnp.zeros((1,), jnp.bool_)]
-        )
-        d_next = jnp.concatenate(
-            [d[1:], jnp.zeros((1, COUNT_DIGITS), jnp.int32)], axis=0
-        )
-        dsum = d + jnp.where(next_same[:, None], d_next, 0)
-        pos = _boundary_positions(flag)[:cap]
-        pos_c = jnp.clip(pos, 0, total - 1)
+        dsum = _segmented_inclusive_sum(d, flag, r + 1)
+        pos = _boundary_positions(flag)
+        pos_c = jnp.clip(pos[:cap], 0, total - 1)
+        pos_next = pos[1 : cap + 1]  # total = cap + r*p > cap, always in range
+        last = jnp.clip(pos_next - 1, 0, total - 1)  # segment's last row
         rep_ops = [op[pos_c] for op in ops_s]
         new_keys, _ = unpack_flag_key(rep_ops, self.spec)
         inv_rows = _invalid_bits(ops_s[0], ops_s, self.spec)
@@ -98,7 +106,7 @@ class CountStore:
         n_kept = jnp.minimum(n_new, cap)
         return StoreState(
             keys=new_keys,
-            digits=renorm_digits(dsum[pos_c]),
+            digits=renorm_digits(dsum[last]),
             used=jnp.arange(cap, dtype=jnp.int32) < n_kept,
             n=n_kept,
             overflowed=overflow,

@@ -46,6 +46,9 @@ class TableState(NamedTuple):
     used: jax.Array    # bool   [slots]  (the m_iKmerStarts analog)
     n: jax.Array       # int32 scalar: distinct kmers
     spilled: jax.Array # int32 scalar: kmers dropped after max reprobes
+    probe_hist: jax.Array  # int32 [max_reprobes]: kmers resolved at round r
+                           # (the abort-code histogram analog,
+                           # reference TSXHashMapTSXPerf.h:195-239)
 
 
 def _triangular(r: jax.Array) -> jax.Array:
@@ -79,6 +82,7 @@ class QuotientTable:
             used=jnp.zeros((s,), jnp.bool_),
             n=jnp.zeros((), jnp.int32),
             spilled=jnp.zeros((), jnp.int32),
+            probe_hist=jnp.zeros((self.max_reprobes,), jnp.int32),
         )
 
     def _hash_parts(self, ukeys: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -106,7 +110,7 @@ class QuotientTable:
             return (r < self.max_reprobes) & jnp.any(unresolved)
 
         def body(carry):
-            r, unresolved, keys, digits, used, n = carry
+            r, unresolved, keys, digits, used, n, hist = carry
             pos = (pos0 + _triangular(r)) % s
             slotkey = cleared.at[:, 0].set(
                 cleared[:, 0] | jnp.uint32(r)
@@ -127,13 +131,16 @@ class QuotientTable:
             keys = keys.at[safe_win].set(slotkey, mode="drop")
             used = used.at[safe_win].set(True, mode="drop")
             n = n + jnp.sum(winner.astype(jnp.int32))
-            return r + 1, unresolved & ~upd, keys, digits, used, n
+            hist = jax.lax.dynamic_update_index_in_dim(
+                hist, hist[r] + jnp.sum(upd.astype(jnp.int32)), r, axis=0
+            )
+            return r + 1, unresolved & ~upd, keys, digits, used, n, hist
 
         unresolved0 = uvalid
-        r, unresolved, keys, digits, used, n = jax.lax.while_loop(
+        r, unresolved, keys, digits, used, n, hist = jax.lax.while_loop(
             cond, body,
             (jnp.zeros((), jnp.int32), unresolved0, state.keys, state.digits,
-             state.used, state.n),
+             state.used, state.n, state.probe_hist),
         )
         spilled = state.spilled + jnp.sum(unresolved.astype(jnp.int32))
         return TableState(
@@ -142,6 +149,7 @@ class QuotientTable:
             used=used,
             n=n,
             spilled=spilled,
+            probe_hist=hist,
         )
 
     def lookup(self, state: TableState, queries: jax.Array

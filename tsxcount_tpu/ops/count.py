@@ -176,14 +176,19 @@ def _segmented_inclusive_sum(vals: jax.Array, flag: jax.Array,
 
     log2(max_fanin) shifted-add steps; max_fanin is a static bound on the
     longest run.  Pure elementwise/shift ops — no scan HLO, no scatter.
+    vals may be 1-D [P] or 2-D [P, W] (summed along axis 0 per segment).
     """
     p = vals.shape[0]
     x, f = vals, flag
+    fill_shape = lambda d: (d,) + x.shape[1:]
     d = 1
     while d < max_fanin and d < p:
-        x_shift = jnp.concatenate([jnp.zeros((d,), x.dtype), x[:-d]])
+        x_shift = jnp.concatenate(
+            [jnp.zeros(fill_shape(d), x.dtype), x[:-d]], axis=0
+        )
         f_shift = jnp.concatenate([jnp.ones((d,), jnp.bool_), f[:-d]])
-        x = x + jnp.where(f, 0, x_shift)
+        blocked = f if x.ndim == 1 else f[:, None]
+        x = x + jnp.where(blocked, 0, x_shift)
         f = f | f_shift
         d *= 2
     return x
