@@ -72,6 +72,8 @@ def main() -> int:
     ap.add_argument("--reads", type=int, default=N_READS,
                     help="synthetic read count (default matches the "
                          "reference baseline measurement)")
+    ap.add_argument("--merge-every", type=int, default=2,
+                    help="batches folded per store merge (R)")
     args = ap.parse_args()
 
     if args.platform:
@@ -87,19 +89,23 @@ def main() -> int:
 
     counter = KmerCounter(
         k=args.k, l=args.l, backend=args.backend,
-        batch_words=args.batch_words,
+        batch_words=args.batch_words, merge_every=args.merge_every,
     )
+    # NB: jax.block_until_ready is a no-op through the tunneled axon
+    # backend; a device_get of the distinct-count scalar (which depends on
+    # the whole merged store) is the completion fence.
     # pass 1: compile + count
     t0 = time.perf_counter()
     counter.count_file(bench_fastq)
-    cold = time.perf_counter() - t0
     distinct = counter.distinct
+    cold = time.perf_counter() - t0
 
     # pass 2: steady state (same jitted step, same shapes)
     t0 = time.perf_counter()
     counter.count_file(bench_fastq)
-    jax.block_until_ready(counter.state)
+    distinct2 = counter.distinct  # completion fence
     warm = time.perf_counter() - t0
+    assert distinct2 == distinct
     kmers = counter.packer.stats.windows  # windows of the second pass
 
     kmers_per_s = kmers / warm

@@ -22,15 +22,23 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def timeit(fn, *args, reps=3):
+def _force(out):
+    """Force completion with a scalar readback.
+
+    jax.block_until_ready is a no-op through the axon tunnel backend, so
+    timing must round-trip a value that depends on the whole result.
+    """
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile + warmup
+    leaves = jax.tree_util.tree_leaves(out)
+    return jax.device_get(leaves[0].ravel()[0])
+
+
+def timeit(fn, *args, reps=3):
+    _force(fn(*args))  # compile + warmup
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _force(fn(*args))
     return (time.perf_counter() - t0) / reps
 
 
@@ -69,6 +77,12 @@ def main() -> int:
     results["gather"] = timeit(
         jax.jit(lambda v, i: v[i]), vals, idx
     )
+    idx_mono = jnp.asarray(np.sort(np.asarray(idx)))
+    results["gather_mono"] = timeit(
+        jax.jit(lambda v, i: v[i]), vals, idx_mono
+    )
+    host_buf = np.asarray(rng.integers(0, 2**32, size=n // 8, dtype=np.uint32))
+    results["h2d_8MB"] = timeit(lambda b: jnp.asarray(b) + 1, host_buf)
     results["cumsum"] = timeit(
         jax.jit(lambda v: jnp.cumsum(v & 1)), vals
     )

@@ -63,9 +63,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="debug: identity hash instead of random GF(2)")
     c.add_argument("--stats-json", action="store_true",
                    help="emit stats as one JSON line")
+    c.add_argument("--save-state", default=None,
+                   help="write a resumable .npz checkpoint after counting "
+                        "(capability the reference lacks)")
+    c.add_argument("--load-state", default=None,
+                   help="resume from a .npz checkpoint before counting")
     c.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu for debugging; "
                         "default: environment's, normally the TPU)")
+    c.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax profiler trace of the counting run "
+                        "(in-process tracing; the reference only had "
+                        "/usr/bin/time + VTune outside the process)")
     return p
 
 
@@ -94,6 +103,10 @@ def cmd_count(args: argparse.Namespace) -> int:
         from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
 
         counter = ShardedKmerCounter(n_shards=args.shards, **kwargs)
+    elif args.load_state:
+        from tsxcount_tpu.core.checkpoint import load_counter
+
+        counter = load_counter(args.load_state, batch_words=args.batch_words)
     else:
         counter = KmerCounter(**kwargs)
 
@@ -102,8 +115,16 @@ def cmd_count(args: argparse.Namespace) -> int:
           f"backend={counter.backend} shards={args.shards} "
           f"input={args.input}", file=sys.stderr)
 
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
     try:
-        counter.count_file(args.input)
+        with profile_ctx:
+            counter.count_file(args.input)
     except TableFull as e:
         print(f"ERROR: {e}", file=sys.stderr)
         return 42  # reference exit code (TSXHashMap.h:340-343)
@@ -119,6 +140,12 @@ def cmd_count(args: argparse.Namespace) -> int:
     else:
         for key, val in stats.items():
             print(f"{key}: {val}", file=sys.stderr)
+
+    if args.save_state:
+        from tsxcount_tpu.core.checkpoint import save_counter
+
+        save_counter(counter, args.save_state)
+        print(f"saved state to {args.save_state}", file=sys.stderr)
 
     if args.dump:
         write_golden(args.dump, counter.to_dict(), sort=True)

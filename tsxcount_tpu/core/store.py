@@ -89,9 +89,14 @@ class CountStore:
              int32_to_digits(ucounts.reshape(-1).astype(jnp.int32))], axis=0
         )
         ops = pack_flag_key(keys, inv, self.spec)
-        idx = jnp.arange(total, dtype=jnp.int32)
-        *ops_s, idx_s = jax.lax.sort(ops + (idx,), num_keys=len(ops))
-        d = digits[idx_s]
+        # digits ride as sort payloads: a random 3-lane gather post-sort is
+        # ~3x slower than widening the sort on TPU (tools/microbench.py)
+        *sorted_all, = jax.lax.sort(
+            ops + (digits[:, 0], digits[:, 1], digits[:, 2]),
+            num_keys=len(ops),
+        )
+        ops_s = sorted_all[: len(ops)]
+        d = jnp.stack(sorted_all[len(ops) :], axis=1)
         flag = _boundary_flags(ops_s)
         dsum = _segmented_inclusive_sum(d, flag, r + 1)
         pos = _boundary_positions(flag)

@@ -27,6 +27,18 @@ from tsxcount_tpu.ops.lanes import pack_bits, unpack_bits
 DEFAULT_SEED = 0x7C5C
 
 
+class BijectiveFunction:
+    """Interface of a bijective key hash (reference IBijectiveFunction,
+    src/tsxcount/IBijectiveFunction.h:26-34): apply / inv_apply over
+    (N, lanes) uint32 key batches."""
+
+    def apply(self, keys):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def inv_apply(self, hashes):  # pragma: no cover - interface
+        raise NotImplementedError
+
+
 def _gf2_invert(a: np.ndarray) -> np.ndarray | None:
     """Invert a binary matrix over GF(2) (Gauss-Jordan); None if singular."""
     n = a.shape[0]
@@ -54,7 +66,7 @@ def random_invertible_gf2(bits: int, seed: int) -> tuple[np.ndarray, np.ndarray]
             return a, ai
 
 
-class GF2Hash:
+class GF2Hash(BijectiveFunction):
     """Batched bijective hash over (N, lanes) uint32 keys."""
 
     def __init__(self, spec: KmerSpec, seed: int = DEFAULT_SEED,
