@@ -23,9 +23,9 @@ import numpy as np
 from tsxcount_tpu.config import COUNT_DIGITS, KmerSpec, counts_to_int
 from tsxcount_tpu.ops.count import (
     _boundary_flags,
-    _boundary_positions,
     _invalid_bits,
-    _segmented_inclusive_sum,
+    _segmented_sum_rev,
+    compact_rows,
     int32_to_digits,
     pack_flag_key,
     renorm_digits,
@@ -95,23 +95,28 @@ class CountStore:
             ops + (digits[:, 0], digits[:, 1], digits[:, 2]),
             num_keys=len(ops),
         )
-        ops_s = sorted_all[: len(ops)]
+        ops_s = list(sorted_all[: len(ops)])
         d = jnp.stack(sorted_all[len(ops) :], axis=1)
         flag = _boundary_flags(ops_s)
-        dsum = _segmented_inclusive_sum(d, flag, r + 1)
-        pos = _boundary_positions(flag)
-        pos_c = jnp.clip(pos[:cap], 0, total - 1)
-        pos_next = pos[1 : cap + 1]  # total = cap + r*p > cap, always in range
-        last = jnp.clip(pos_next - 1, 0, total - 1)  # segment's last row
-        rep_ops = [op[pos_c] for op in ops_s]
-        new_keys, _ = unpack_flag_key(rep_ops, self.spec)
+        # run totals anchored at first rows; one payload-carrying compaction
+        # sort replaces boundary-position sort + per-column gathers
+        dsum = _segmented_sum_rev(d, flag, r + 1)
+        _, rep = compact_rows(
+            flag, ops_s + [dsum[:, 0], dsum[:, 1], dsum[:, 2]]
+        )
+        new_keys, _ = unpack_flag_key(
+            [col[:cap] for col in rep[: len(ops)]], self.spec
+        )
+        new_digits = jnp.stack(
+            [col[:cap] for col in rep[len(ops) :]], axis=1
+        )
         inv_rows = _invalid_bits(ops_s[0], ops_s, self.spec)
         n_new = jnp.sum(flag & ~inv_rows, dtype=jnp.int32)
         overflow = state.overflowed | (n_new > cap)
         n_kept = jnp.minimum(n_new, cap)
         return StoreState(
             keys=new_keys,
-            digits=renorm_digits(dsum[last]),
+            digits=renorm_digits(new_digits),
             used=jnp.arange(cap, dtype=jnp.int32) < n_kept,
             n=n_kept,
             overflowed=overflow,

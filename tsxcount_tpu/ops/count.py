@@ -107,6 +107,23 @@ def _boundary_positions(flag: jax.Array) -> jax.Array:
     return pos
 
 
+def compact_rows(flag: jax.Array, columns: Sequence[jax.Array]
+                 ) -> tuple[jax.Array, list[jax.Array]]:
+    """Move boundary rows to the front, in order, carrying `columns` along.
+
+    One sort keyed on where(flag, position, P) with the columns as payload.
+    Returns (positions int32 [P] with tail = P, compacted columns).
+    Cheaper than boundary-position sort + per-column gathers: TPU gathers
+    run ~98 Melem/s while widening a sort by one payload costs ~20 ms per
+    16.7M rows (tools/microbench.py).
+    """
+    p = flag.shape[0]
+    arange = jnp.arange(p, dtype=jnp.int32)
+    key = jnp.where(flag, arange, p)
+    out = jax.lax.sort((key,) + tuple(columns), num_keys=1)
+    return out[0], list(out[1:])
+
+
 def count_unique(kmers: jax.Array, valid: jax.Array,
                  weights: jax.Array | None = None,
                  spec: KmerSpec | None = None,
@@ -126,29 +143,30 @@ def count_unique(kmers: jax.Array, valid: jax.Array,
     if weights is None:
         ops_sorted = jax.lax.sort(ops, num_keys=len(ops))
         flag = _boundary_flags(ops_sorted)
-        pos = _boundary_positions(flag)
+        pos, rep = compact_rows(flag, ops_sorted)
         pos_next = jnp.concatenate([pos[1:], jnp.full((1,), p, jnp.int32)])
         counts = pos_next - pos  # garbage (=0) beyond the last segment
-        rep = [op[jnp.clip(pos, 0, p - 1)] for op in ops_sorted]
         ukeys, uinvalid = unpack_flag_key(rep, spec)
         inv_sorted0 = _invalid_bits(ops_sorted[0], ops_sorted, spec)
         n_unique = jnp.sum(flag & ~inv_sorted0, dtype=jnp.int32)
     else:
-        idx = jnp.arange(p, dtype=jnp.int32)
-        *ops_sorted, idx_s = jax.lax.sort(ops + (idx,), num_keys=len(ops))
-        w_s = weights.astype(jnp.int32)[idx_s]
+        ops_sorted_w = jax.lax.sort(
+            ops + (weights.astype(jnp.int32),), num_keys=len(ops)
+        )
+        ops_sorted = list(ops_sorted_w[:-1])
+        w_s = ops_sorted_w[-1]
         flag = _boundary_flags(ops_sorted)
-        # inclusive segmented sum, bounded fanin -> log2 steps of shifted adds
+        # first-row-anchored segmented sum, bounded fanin
         fanin = max_multiplicity or p
-        w_s = _segmented_inclusive_sum(w_s, flag, fanin)
-        pos = _boundary_positions(flag)
-        pos_next = jnp.concatenate([pos[1:], jnp.full((1,), p, jnp.int32)])
-        last = jnp.clip(pos_next - 1, 0, p - 1)  # last row holds the total
-        counts = jnp.where(pos_next > pos, w_s[last], 0)
-        rep = [op[jnp.clip(pos, 0, p - 1)] for op in ops_sorted]
-        ukeys, uinvalid = unpack_flag_key(rep, spec)
+        w_s = _segmented_sum_rev(w_s, flag, fanin)
+        _, rep = compact_rows(flag, ops_sorted + [w_s])
+        counts = rep[-1]
+        ukeys, uinvalid = unpack_flag_key(rep[:-1], spec)
         inv_sorted0 = _invalid_bits(ops_sorted[0], ops_sorted, spec)
         n_unique = jnp.sum(flag & ~inv_sorted0, dtype=jnp.int32)
+        counts = jnp.where(
+            jnp.arange(p, dtype=jnp.int32) < n_unique, counts, 0
+        )
 
     uvalid = jnp.arange(p, dtype=jnp.int32) < n_unique
     return UniqueCounts(
@@ -187,6 +205,33 @@ def _segmented_inclusive_sum(vals: jax.Array, flag: jax.Array,
             [jnp.zeros(fill_shape(d), x.dtype), x[:-d]], axis=0
         )
         f_shift = jnp.concatenate([jnp.ones((d,), jnp.bool_), f[:-d]])
+        blocked = f if x.ndim == 1 else f[:, None]
+        x = x + jnp.where(blocked, 0, x_shift)
+        f = f | f_shift
+        d *= 2
+    return x
+
+
+def _segmented_sum_rev(vals: jax.Array, flag: jax.Array,
+                       max_fanin: int) -> jax.Array:
+    """Segmented sum anchored at the FIRST row of each run.
+
+    Mirror of _segmented_inclusive_sum: accumulate from below, blocked by
+    end-of-segment flags, so row i ends up with the sum over [i, run_end].
+    The first row of every run then holds the run total — exactly what the
+    compaction sort extracts.  vals 1-D [P] or 2-D [P, W].
+    """
+    p = vals.shape[0]
+    # end flag: row i is the last of its run iff row i+1 starts a new one
+    endf = jnp.concatenate([flag[1:], jnp.ones((1,), jnp.bool_)])
+    x, f = vals, endf
+    fill_shape = lambda d: (d,) + x.shape[1:]
+    d = 1
+    while d < max_fanin and d < p:
+        x_shift = jnp.concatenate(
+            [x[d:], jnp.zeros(fill_shape(d), x.dtype)], axis=0
+        )
+        f_shift = jnp.concatenate([f[d:], jnp.ones((d,), jnp.bool_)])
         blocked = f if x.ndim == 1 else f[:, None]
         x = x + jnp.where(blocked, 0, x_shift)
         f = f | f_shift

@@ -153,20 +153,23 @@ class ShardedKmerCounter:
             owner = jnp.where(
                 uc.valid, hash_owner(hashes, spec, n_shards), n_shards
             )
-            # rank within each owner group (keys are sorted, owner values are
-            # not; sort by owner, stable, to group destinations)
-            owner_s, key_idx = jax.lax.sort(
-                (owner, jnp.arange(p, dtype=jnp.int32)), num_keys=1
+            # group rows by destination: one sort keyed on owner with the
+            # key lanes + counts as payload (gather-free)
+            sorted_all = jax.lax.sort(
+                (owner,)
+                + tuple(uc.keys[:, j] for j in range(lanes))
+                + (uc.counts,),
+                num_keys=1,
             )
+            owner_s = sorted_all[0]
+            keys_s = jnp.stack(sorted_all[1 : 1 + lanes], axis=1)
+            counts_s = sorted_all[1 + lanes]
             arange = jnp.arange(p, dtype=jnp.int32)
             is_start = jnp.concatenate(
                 [jnp.ones((1,), jnp.bool_), owner_s[1:] != owner_s[:-1]]
             )
             starts = jax.lax.cummax(jnp.where(is_start, arange, 0))
             rank = arange - starts
-
-            keys_s = uc.keys[key_idx]
-            counts_s = uc.counts[key_idx]
             sendable = (owner_s < n_shards) & (rank < cap)
             spill = jnp.sum(
                 ((owner_s < n_shards) & (rank >= cap)).astype(jnp.int32)
