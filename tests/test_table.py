@@ -111,3 +111,30 @@ def test_deterministic_layout():
     s2 = _insert_batch(table, table.init_state(), keys, np.ones(200, bool))
     np.testing.assert_array_equal(np.asarray(s1.keys), np.asarray(s2.keys))
     np.testing.assert_array_equal(np.asarray(s1.digits), np.asarray(s2.digits))
+
+
+def test_get_positions_debug_api():
+    """getPosition/getKmerPositions parity: slot+reprobe consistent with
+    the triangular probe sequence and the stored key encoding."""
+    import jax.numpy as jnp
+
+    table, spec = _make_table(k=14, l=8)
+    state = table.init_state()
+    rng = np.random.default_rng(12)
+    keys = rng.integers(0, 2**28, size=(100, 1), dtype=np.uint32)
+    keys = np.unique(keys, axis=0)
+    state = _insert_batch(table, state, keys, np.ones(len(keys), bool))
+    pos, rep, found = jax.jit(table.get_positions)(state, jnp.asarray(keys))
+    pos, rep, found = map(np.asarray, (pos, rep, found))
+    assert found.all()
+    # verify against host-side hash arithmetic
+    h = table.hash_fn.apply_host(keys)
+    pos0 = h[:, 0] & ((1 << 8) - 1)
+    expect = (pos0 + rep * (rep + 1) // 2) % table.slots
+    np.testing.assert_array_equal(pos, expect)
+    # absent key
+    absent = np.array([[0x0FABCDEF]], dtype=np.uint32)
+    if not any((absent == k).all() for k in keys):
+        p2, r2, f2 = table.get_positions(state, jnp.asarray(absent))
+        if not bool(np.asarray(f2)[0]):
+            assert int(np.asarray(p2)[0]) == -1

@@ -186,8 +186,12 @@ class KmerCounter:
     def _consume(self, batches: Iterator[PackedBatch]) -> None:
         t0 = time.perf_counter()
         for pb in batches:
-            words = jnp.asarray(pb.words)
-            vmask = jnp.asarray(pb.vmask)
+            # async H2D: device_put returns before the copy completes, so the
+            # next batch packs on host while this one transfers/computes —
+            # the reader-task/counter-task overlap of the reference
+            # (main.cpp:132-218) without threads
+            words = jax.device_put(pb.words)
+            vmask = jax.device_put(pb.vmask)
             if self.backend == "sort":
                 self._pending_uc.append(self._dedupe(words, vmask))
                 if len(self._pending_uc) >= self.merge_every:

@@ -187,6 +187,42 @@ class QuotientTable:
         )
         return out, found
 
+    def get_positions(self, state: TableState, queries: jax.Array
+                      ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Debug API: the slot index and reprobe count where each query key
+        resides (reference getPosition TSXHashMap.h:759-778 and
+        getKmerPositions).  Returns (pos int32 [N], reprobe int32 [N],
+        found bool [N]); pos/reprobe are -1 when absent."""
+        n_q = queries.shape[0]
+        pos0, cleared = self._hash_parts(queries)
+        s = self.slots
+
+        def cond(carry):
+            r, active, *_ = carry
+            return (r < self.max_reprobes) & jnp.any(active)
+
+        def body(carry):
+            r, active, out_pos, out_r, found = carry
+            pos = (pos0 + _triangular(r)) % s
+            slotkey = cleared.at[:, 0].set(cleared[:, 0] | jnp.uint32(r))
+            used_g = state.used[pos]
+            match = active & used_g & keys_equal(state.keys[pos], slotkey)
+            out_pos = jnp.where(match, pos, out_pos)
+            out_r = jnp.where(match, r, out_r)
+            found = found | match
+            active = active & used_g & ~match
+            return r + 1, active, out_pos, out_r, found
+
+        _, _, out_pos, out_r, found = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32),
+             jnp.ones((n_q,), jnp.bool_),
+             jnp.full((n_q,), -1, jnp.int32),
+             jnp.full((n_q,), -1, jnp.int32),
+             jnp.zeros((n_q,), jnp.bool_)),
+        )
+        return out_pos, out_r, found
+
     def reconstruct_all(self, state: TableState
                         ) -> tuple[jax.Array, jax.Array]:
         """Rebuild every stored k-mer from its slot — getAllKmers analog.
