@@ -69,3 +69,17 @@ def test_sharded_golden_small_t7(small_t7_fastq, small_t7_golden):
     assert counter.distinct == len(golden)
     res = counter.check(small_t7_golden)
     assert res.ok, (res.mismatches[:3], res.missing[:3], res.extra_distinct)
+
+
+def test_sharded_table_backend_matches_naive():
+    rng = np.random.default_rng(33)
+    reads = rand_reads(rng, 40, 10, 100)
+    counter = ShardedKmerCounter(
+        k=9, n_shards=4, l=16, backend="table", batch_words=32
+    )
+    counter.add_reads(reads)
+    counter.finish()
+    want = dict(naive_kmers(reads, 9))
+    assert counter.to_dict() == want
+    some = list(want)[:30] + ["A" * 9]
+    assert counter.get_counts(some) == [want.get(km, 0) for km in some]

@@ -162,6 +162,9 @@ class QuotientTable:
         n_q = queries.shape[0]
         pos0, cleared = self._hash_parts(queries)
         s = self.slots
+        # derive loop carries from pos0 so they inherit its varying-manual
+        # axes when called inside shard_map
+        zero = pos0 * 0
 
         def cond(carry):
             r, active, *_ = carry
@@ -181,9 +184,9 @@ class QuotientTable:
         _, _, out, found = jax.lax.while_loop(
             cond, body,
             (jnp.zeros((), jnp.int32),
-             jnp.ones((n_q,), jnp.bool_),
-             jnp.zeros((n_q, COUNT_DIGITS), jnp.int32),
-             jnp.zeros((n_q,), jnp.bool_)),
+             zero == 0,
+             jnp.zeros((n_q, COUNT_DIGITS), jnp.int32) + zero[:, None],
+             zero != 0),
         )
         return out, found
 
@@ -196,6 +199,7 @@ class QuotientTable:
         n_q = queries.shape[0]
         pos0, cleared = self._hash_parts(queries)
         s = self.slots
+        zero = pos0 * 0
 
         def cond(carry):
             r, active, *_ = carry
@@ -216,10 +220,10 @@ class QuotientTable:
         _, _, out_pos, out_r, found = jax.lax.while_loop(
             cond, body,
             (jnp.zeros((), jnp.int32),
-             jnp.ones((n_q,), jnp.bool_),
-             jnp.full((n_q,), -1, jnp.int32),
-             jnp.full((n_q,), -1, jnp.int32),
-             jnp.zeros((n_q,), jnp.bool_)),
+             zero == 0,
+             zero - 1,
+             zero - 1,
+             zero != 0),
         )
         return out_pos, out_r, found
 

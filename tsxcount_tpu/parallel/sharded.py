@@ -48,14 +48,29 @@ from tsxcount_tpu.utils.sequence import kmers_to_strings, strings_to_kmers
 shard_map = jax.shard_map
 
 
-def _wrap_scalars(state: StoreState) -> StoreState:
+_SCALAR_FIELDS = ("n", "overflowed", "spilled")
+
+
+def _wrap_scalars(state):
     """Give scalar state fields a singleton axis so shard_map can stack
-    them into per-shard vectors (P('shard') out_specs need rank >= 1)."""
-    return state._replace(n=state.n[None], overflowed=state.overflowed[None])
+    them into per-shard vectors (P('shard') out_specs need rank >= 1).
+    Works for both StoreState and TableState."""
+    return state._replace(**{
+        f: getattr(state, f)[None]
+        for f in _SCALAR_FIELDS if f in state._fields
+    })
 
 
-def _unwrap_scalars(state: StoreState) -> StoreState:
-    return state._replace(n=state.n[0], overflowed=state.overflowed[0])
+def _unwrap_scalars(state):
+    return state._replace(**{
+        f: getattr(state, f)[0]
+        for f in _SCALAR_FIELDS if f in state._fields
+    })
+
+
+def _state_specs(state_cls):
+    """Pytree of P('shard') specs matching a state NamedTuple class."""
+    return state_cls(*([P(SHARD_AXIS)] * len(state_cls._fields)))
 
 
 def hash_owner(hashes: jax.Array, spec: KmerSpec, n_shards: int) -> jax.Array:
@@ -88,19 +103,33 @@ class ShardedKmerCounter:
         devices=None,
         max_reprobes: int = 64,  # accepted for API parity
     ):
-        del max_reprobes
+        from tsxcount_tpu.core.counter import MODE_TO_BACKEND
+
         self.spec = KmerSpec(k)
         self.batch = BatchSpec(self.spec, batch_words)
         self.l = l
         self.s = s
-        self.backend = "sort"  # sharded path uses the sorted store per shard
+        self.backend = MODE_TO_BACKEND.get(backend, backend)
+        if self.backend not in ("sort", "table"):
+            raise ValueError(f"unknown backend {backend}")
         self.n_shards = n_shards
         self.n_policy = n_policy
         self.seed = seed
         self.mesh = make_shard_mesh(n_shards, devices=devices)
         self.hash_fn = GF2Hash(self.spec, seed=hash_seed, identity=identity_hash)
-        cap_per_shard = max(1, (1 << l) // n_shards)
-        self.store = CountStore(self.spec, capacity=cap_per_shard)
+        # per-shard capacity: the global 2^l table split across shards
+        l_local = max(1, l - max(0, n_shards.bit_length() - 1))
+        if self.backend == "table":
+            from tsxcount_tpu.core.table import QuotientTable
+
+            self.table = QuotientTable(
+                self.spec, l_local, self.hash_fn, max_reprobes=max_reprobes
+            )
+            self._backend_obj = self.table
+        else:
+            cap_per_shard = max(1, (1 << l) // n_shards)
+            self.store = CountStore(self.spec, capacity=cap_per_shard)
+            self._backend_obj = self.store
         # routing capacity per (src, dst) pair
         self.route_cap = int(
             capacity_factor * self.batch.positions / n_shards
@@ -117,15 +146,18 @@ class ShardedKmerCounter:
 
     # --- sharded state ---
 
+    @property
+    def _state_cls(self):
+        from tsxcount_tpu.core.table import TableState
+
+        return TableState if self.backend == "table" else StoreState
+
     def _init_state(self):
         init = shard_map(
-            lambda: _wrap_scalars(self.store.init_state()),
+            lambda: _wrap_scalars(self._backend_obj.init_state()),
             mesh=self.mesh,
             in_specs=(),
-            out_specs=StoreState(
-                keys=P(SHARD_AXIS), digits=P(SHARD_AXIS), used=P(SHARD_AXIS),
-                n=P(SHARD_AXIS), overflowed=P(SHARD_AXIS),
-            ),
+            out_specs=_state_specs(self._state_cls),
         )
         # scalars become per-shard vectors of length n_shards
         return jax.jit(init)()
@@ -135,7 +167,10 @@ class ShardedKmerCounter:
         spec = self.spec
         n_shards = self.n_shards
         cap = self.route_cap
-        store = self.store
+        backend_obj = self._backend_obj
+        accumulate = (
+            backend_obj.insert if self.backend == "table" else backend_obj.merge
+        )
         hash_fn = self.hash_fn
         lanes = spec.lanes
 
@@ -208,7 +243,7 @@ class ShardedKmerCounter:
             # owner-side exact accumulation (weights = pre-deduped counts)
             uc2 = count_unique(recv_keys, recv_valid, weights=recv_counts,
                                spec=spec, max_multiplicity=n_shards)
-            new_state = store.merge(
+            new_state = accumulate(
                 _unwrap_scalars(state), uc2.keys, uc2.counts, uc2.valid
             )
             total_spill = jax.lax.psum(spill[None], SHARD_AXIS)
@@ -219,41 +254,25 @@ class ShardedKmerCounter:
                 local_step,
                 mesh=self.mesh,
                 in_specs=(
-                    StoreState(
-                        keys=P(SHARD_AXIS), digits=P(SHARD_AXIS),
-                        used=P(SHARD_AXIS), n=P(SHARD_AXIS),
-                        overflowed=P(SHARD_AXIS),
-                    ),
+                    _state_specs(self._state_cls),
                     P(SHARD_AXIS),
                     P(SHARD_AXIS),
                 ),
-                out_specs=(
-                    StoreState(
-                        keys=P(SHARD_AXIS), digits=P(SHARD_AXIS),
-                        used=P(SHARD_AXIS), n=P(SHARD_AXIS),
-                        overflowed=P(SHARD_AXIS),
-                    ),
-                    P(),
-                ),
+                out_specs=(_state_specs(self._state_cls), P()),
             )(state, words_stacked, vmask_stacked)
 
         return step
 
     def _make_lookup(self):
-        store = self.store
-        n_shards = self.n_shards
+        backend_obj = self._backend_obj
 
-        def local_lookup(state: StoreState, queries):
-            # queries are replicated; mark them shard-varying so the binary-
-            # search carry has consistent varying-manual-axes with the
+        def local_lookup(state, queries):
+            # queries are replicated; mark them shard-varying so the search
+            # carries have consistent varying-manual-axes with the
             # shard-local table state
             queries = jax.lax.pcast(queries, (SHARD_AXIS,), to="varying")
-            digits, found = store.lookup(
-                StoreState(
-                    keys=state.keys, digits=state.digits, used=state.used,
-                    n=state.n[0], overflowed=state.overflowed[0],
-                ),
-                queries,
+            digits, found = backend_obj.lookup(
+                _unwrap_scalars(state), queries
             )
             digits = jnp.where(found[:, None], digits, 0)
             # each key lives in exactly one shard -> psum combines results
@@ -266,14 +285,7 @@ class ShardedKmerCounter:
             return shard_map(
                 local_lookup,
                 mesh=self.mesh,
-                in_specs=(
-                    StoreState(
-                        keys=P(SHARD_AXIS), digits=P(SHARD_AXIS),
-                        used=P(SHARD_AXIS), n=P(SHARD_AXIS),
-                        overflowed=P(SHARD_AXIS),
-                    ),
-                    P(),
-                ),
+                in_specs=(_state_specs(self._state_cls), P()),
                 out_specs=(P(), P()),
             )(state, queries)
 
@@ -348,7 +360,15 @@ class ShardedKmerCounter:
         self._pending.extend(self.packer.finish())
         self._dispatch_pending(force=True)
         jax.block_until_ready(self.state)
-        if bool(np.any(np.asarray(jax.device_get(self.state.overflowed)))):
+        if self.backend == "table":
+            spilled = int(np.sum(np.asarray(jax.device_get(self.state.spilled))))
+            if spilled:
+                raise TableFull(
+                    f"{spilled} kmers unresolved after "
+                    f"{self.table.max_reprobes} reprobes in a table shard; "
+                    f"increase --l"
+                )
+        elif bool(np.any(np.asarray(jax.device_get(self.state.overflowed)))):
             raise TableFull(
                 f"a table shard exceeded capacity 2^{self.l}/{self.n_shards}; "
                 f"rerun with larger --l"
@@ -390,6 +410,9 @@ class ShardedKmerCounter:
         return out
 
     def items(self):
+        if self.backend == "table":
+            yield from self._items_table()
+            return
         cap = self.store.capacity
         keys = np.asarray(jax.device_get(self.state.keys)).reshape(
             self.n_shards, cap, self.spec.lanes
@@ -405,6 +428,37 @@ class ShardedKmerCounter:
             strings = kmers_to_strings(keys[shard, :n], self.spec)
             for i, kmer_str in enumerate(strings):
                 yield kmer_str, counts_to_int(*digits[shard, i])
+
+    def _items_table(self):
+        """Per-shard inverse-hash reconstruction (getAllKmers analog)."""
+        from tsxcount_tpu.core.table import TableState
+
+        slots = self.table.slots
+        host = {
+            name: np.asarray(jax.device_get(val))
+            for name, val in self.state._asdict().items()
+        }
+        for shard in range(self.n_shards):
+            shard_state = TableState(
+                keys=jnp.asarray(
+                    host["keys"].reshape(self.n_shards, slots, -1)[shard]
+                ),
+                digits=jnp.asarray(
+                    host["digits"].reshape(self.n_shards, slots, -1)[shard]
+                ),
+                used=jnp.asarray(
+                    host["used"].reshape(self.n_shards, slots)[shard]
+                ),
+                n=jnp.asarray(host["n"][shard]),
+                spilled=jnp.asarray(host["spilled"][shard]),
+                probe_hist=jnp.asarray(
+                    host["probe_hist"].reshape(self.n_shards, -1)[shard]
+                ),
+            )
+            keys, counts, n = self.table.to_host(shard_state)
+            strings = kmers_to_strings(keys, self.spec)
+            for kmer_str, cnt in zip(strings, counts):
+                yield kmer_str, int(cnt)
 
     def to_dict(self) -> dict[str, int]:
         return dict(self.items())
