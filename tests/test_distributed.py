@@ -1,0 +1,43 @@
+"""Multi-host input striping tests (single-process degenerate behavior)."""
+
+import numpy as np
+
+from tsxcount_tpu.parallel.distributed import (
+    count_file_distributed,
+    init_distributed,
+    striped_records,
+)
+from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
+
+from tests.test_packer import naive_kmers, rand_reads
+
+
+def _write_fastq(path, reads):
+    with open(path, "w") as f:
+        for i, seq in enumerate(reads):
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+
+
+def test_striping_partitions_records(tmp_path):
+    reads = rand_reads(np.random.default_rng(0), 100, 10, 40)
+    path = tmp_path / "t.fastq"
+    _write_fastq(path, reads)
+    n_hosts = 4
+    seen = []
+    for host in range(n_hosts):
+        seen.extend(
+            rec.seq for rec in striped_records(path, host, n_hosts, stride=8)
+        )
+    # every record appears exactly once across hosts
+    assert sorted(seen) == sorted(s.encode() for s in reads)
+
+
+def test_count_file_distributed_single_process(tmp_path):
+    reads = rand_reads(np.random.default_rng(1), 40, 10, 80)
+    path = tmp_path / "t.fastq"
+    _write_fastq(path, reads)
+    pid, n = init_distributed()  # no coordinator -> no-op
+    assert (pid, n) == (0, 1)
+    counter = ShardedKmerCounter(k=9, n_shards=4, l=15, batch_words=32)
+    count_file_distributed(counter, path)
+    assert counter.to_dict() == dict(naive_kmers(reads, 9))
