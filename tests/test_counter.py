@@ -107,3 +107,26 @@ def test_golden_dump_roundtrip(small_t7_fastq, small_t7_golden, tmp_path):
     out = tmp_path / "dump.count"
     write_golden(out, counter.to_dict())
     assert read_golden(out) == read_golden(small_t7_golden)
+
+
+def _revcomp(s):
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    return "".join(comp[c] for c in reversed(s))
+
+
+@pytest.mark.parametrize("k", [7, 14, 33])
+def test_counter_canonical(k):
+    """--canonical counts min(kmer, revcomp) — beyond-reference feature."""
+    import collections
+
+    rng = np.random.default_rng(k)
+    reads = rand_reads(rng, 25, k, 3 * k + 30)
+    counter = KmerCounter(k=k, l=13, batch_words=64, canonical=True)
+    counter.add_reads(reads)
+    counter.finish()
+    want = collections.Counter()
+    for kmer_str, c in naive_kmers(reads, k).items():
+        want[min(kmer_str, _revcomp(kmer_str))] += c
+    assert counter.to_dict() == dict(want)
+    some = list(want)[:20]
+    assert counter.get_counts(some) == [want[km] for km in some]

@@ -31,6 +31,7 @@ from tsxcount_tpu.core.store import CountStore
 from tsxcount_tpu.core.table import QuotientTable
 from tsxcount_tpu.io.fastx import read_fastx
 from tsxcount_tpu.io.packer import PackedBatch, ReadPacker
+from tsxcount_tpu.ops.canonical import canonicalize
 from tsxcount_tpu.ops.count import count_unique
 from tsxcount_tpu.ops.gf2 import DEFAULT_SEED, GF2Hash
 from tsxcount_tpu.ops.window import expand_vmask, extract_kmers
@@ -95,6 +96,7 @@ class KmerCounter:
         max_reprobes: int = 64,
         seed: int = 0,
         merge_every: int = 4,
+        canonical: bool = False,
     ):
         if backend in MODE_TO_BACKEND:
             backend = MODE_TO_BACKEND[backend]
@@ -108,6 +110,7 @@ class KmerCounter:
         self.backend = backend
         self.n_policy = n_policy
         self.seed = seed
+        self.canonical = canonical
         self.hash_fn = GF2Hash(self.spec, seed=hash_seed, identity=identity_hash)
         if backend == "sort":
             self.store = CountStore(self.spec, capacity=1 << l)
@@ -118,6 +121,7 @@ class KmerCounter:
             )
             self.state = self.table.init_state()
         self.merge_every = max(1, merge_every) if backend == "sort" else 1
+        canonical = self.canonical
         if backend == "sort":
             # deferred merging: dedupe each batch on device, fold R batch
             # histograms into the store with ONE sort (merge_stacked) —
@@ -126,6 +130,8 @@ class KmerCounter:
 
             def dedupe(words, vmask):
                 kmers = extract_kmers(words, batch)
+                if canonical:
+                    kmers = canonicalize(kmers, batch.spec)
                 valid = expand_vmask(vmask, batch)
                 uc = count_unique(kmers, valid, spec=batch.spec)
                 return uc.keys, uc.counts, uc.valid
@@ -149,8 +155,12 @@ class KmerCounter:
         batch = self.batch
         table = self.table
 
+        canonical = self.canonical
+
         def step(state, words, vmask):
             kmers = extract_kmers(words, batch)
+            if canonical:
+                kmers = canonicalize(kmers, batch.spec)
             valid = expand_vmask(vmask, batch)
             uc = count_unique(kmers, valid, spec=batch.spec)
             return table.insert(state, uc.keys, uc.counts, uc.valid)
@@ -270,6 +280,10 @@ class KmerCounter:
             return []
         self._flush_pending()
         keys = strings_to_kmers(kmers, self.spec)
+        if self.canonical:
+            keys = np.asarray(
+                jax.jit(lambda x: canonicalize(x, self.spec))(jnp.asarray(keys))
+            )
         out: list[int] = []
         n = len(kmers)
         for off in range(0, n, _QUERY_BATCH):
