@@ -81,3 +81,20 @@ def test_cli_help_runs():
     with pytest.raises(SystemExit) as e:
         main(["--help"])
     assert e.value.code == 0
+
+
+def test_bench_script_runs_on_cpu(tmp_path):
+    """Keeps bench.py (the driver's entry point) green end-to-end."""
+    import json
+
+    repo = __file__.rsplit("/tests/", 1)[0]
+    proc = subprocess.run(
+        [sys.executable, f"{repo}/bench.py", "--platform", "cpu",
+         "--reads", "100", "--l", "17", "--batch-words", "4096"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["metric"] == "kmers_per_second_k14"
+    assert result["value"] > 0
+    assert result["vs_baseline"] is not None

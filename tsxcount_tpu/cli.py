@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="debug: identity hash instead of random GF(2)")
     c.add_argument("--stats-json", action="store_true",
                    help="emit stats as one JSON line")
+    c.add_argument("--canonical", action="store_true",
+                   help="count canonical kmers min(kmer, revcomp) — "
+                        "beyond-reference feature, off by default for "
+                        "reference parity")
     c.add_argument("--save-state", default=None,
                    help="write a resumable .npz checkpoint after counting "
                         "(capability the reference lacks)")
@@ -98,6 +102,7 @@ def cmd_count(args: argparse.Namespace) -> int:
         n_policy=args.n_policy,
         hash_seed=DEFAULT_SEED if args.hash_seed is None else args.hash_seed,
         identity_hash=args.identity_hash,
+        canonical=args.canonical,
     )
     if args.shards > 1:
         from tsxcount_tpu.parallel.sharded import ShardedKmerCounter

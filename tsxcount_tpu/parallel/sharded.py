@@ -38,6 +38,7 @@ from tsxcount_tpu.core.counter import _QUERY_BATCH, TableFull
 from tsxcount_tpu.core.store import CountStore, StoreState
 from tsxcount_tpu.io.fastx import read_fastx
 from tsxcount_tpu.io.packer import ReadPacker
+from tsxcount_tpu.ops.canonical import canonicalize
 from tsxcount_tpu.ops.count import count_unique
 from tsxcount_tpu.ops.gf2 import DEFAULT_SEED, GF2Hash
 from tsxcount_tpu.ops.window import expand_vmask, extract_kmers
@@ -101,8 +102,11 @@ class ShardedKmerCounter:
         capacity_factor: float = 2.0,
         seed: int = 0,
         devices=None,
-        max_reprobes: int = 64,  # accepted for API parity
+        max_reprobes: int = 64,
+        canonical: bool = False,
+        merge_every: int = 1,  # accepted for API parity (per-batch merge)
     ):
+        del merge_every
         from tsxcount_tpu.core.counter import MODE_TO_BACKEND
 
         self.spec = KmerSpec(k)
@@ -115,6 +119,7 @@ class ShardedKmerCounter:
         self.n_shards = n_shards
         self.n_policy = n_policy
         self.seed = seed
+        self.canonical = canonical
         self.mesh = make_shard_mesh(n_shards, devices=devices)
         self.hash_fn = GF2Hash(self.spec, seed=hash_seed, identity=identity_hash)
         # per-shard capacity: the global 2^l table split across shards
@@ -172,6 +177,7 @@ class ShardedKmerCounter:
             backend_obj.insert if self.backend == "table" else backend_obj.merge
         )
         hash_fn = self.hash_fn
+        canonical = self.canonical
         lanes = spec.lanes
 
         def local_step(state: StoreState, words, vmask):
@@ -179,6 +185,8 @@ class ShardedKmerCounter:
             words = words[0]
             vmask = vmask[0]
             kmers = extract_kmers(words, batch)
+            if canonical:
+                kmers = canonicalize(kmers, spec)
             valid = expand_vmask(vmask, batch)
             uc = count_unique(kmers, valid, spec=spec)
             p = uc.keys.shape[0]
@@ -392,6 +400,10 @@ class ShardedKmerCounter:
         if not kmers:
             return []
         keys = strings_to_kmers(kmers, self.spec)
+        if self.canonical:
+            keys = np.asarray(
+                jax.jit(lambda x: canonicalize(x, self.spec))(jnp.asarray(keys))
+            )
         out: list[int] = []
         n = len(kmers)
         for off in range(0, n, _QUERY_BATCH):
