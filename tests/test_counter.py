@@ -130,3 +130,13 @@ def test_counter_canonical(k):
     assert counter.to_dict() == dict(want)
     some = list(want)[:20]
     assert counter.get_counts(some) == [want[km] for km in some]
+
+
+def test_counter_k200_beyond_reference_width():
+    """Keys wider than the reference's k<=128 headline (13 uint32 lanes)."""
+    rng = np.random.default_rng(200)
+    reads = rand_reads(rng, 6, 220, 400)
+    counter = KmerCounter(k=200, l=12, batch_words=128)
+    counter.add_reads(reads)
+    counter.finish()
+    assert counter.to_dict() == dict(naive_kmers(reads, 200))
