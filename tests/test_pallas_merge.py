@@ -6,7 +6,7 @@ import pytest
 
 from tsxcount_tpu.ops.pallas_merge import merge_path_partition, merge_sorted
 
-TILE = 256
+TILE = 1024
 
 
 def _random_sorted(rng, n, hi=2**31):
@@ -34,8 +34,8 @@ def test_merge_path_partition_valid():
         )
 
 
-@pytest.mark.parametrize("m,n", [(512, 512), (1000, 24), (0, 1024),
-                                 (768, 256)])
+@pytest.mark.parametrize("m,n", [(1024, 1024), (2000, 48), (0, 2048),
+                                 (3072, 1024)])
 def test_merge_sorted_keys_only(m, n):
     rng = np.random.default_rng(m + n)
     a = _random_sorted(rng, m)
@@ -50,7 +50,7 @@ def test_merge_sorted_keys_only(m, n):
 
 def test_merge_sorted_with_payloads_stable():
     rng = np.random.default_rng(7)
-    m, n = 700, 324
+    m, n = 1700, 348
     # heavy duplication to stress tie handling across tile boundaries
     a = np.sort(rng.integers(0, 50, size=m, dtype=np.uint32))
     b = np.sort(rng.integers(0, 50, size=n, dtype=np.uint32))
@@ -76,7 +76,7 @@ def test_merge_sorted_with_payloads_stable():
 
 def test_merge_sorted_multiset_exact():
     rng = np.random.default_rng(9)
-    m, n = 2048, 2048
+    m, n = 4096, 4096
     a = _random_sorted(rng, m, hi=1000)
     b = _random_sorted(rng, n, hi=1000)
     pa = rng.integers(0, 2**31, size=m, dtype=np.int32)

@@ -2,25 +2,33 @@
 
 The store merge combines runs that are already sorted (the store's key
 prefix and each batch's deduped histogram), but `jax.lax.sort` cannot
-exploit that and pays O(n log^2 n) compare-exchange passes (~80 ms per 16.7M
-x 2 operands on v5e, tools/microbench.py).  This kernel is the classic
-GPU-style merge, TPU-ified:
+exploit that and pays O(n log^2 n) compare-exchange passes.  This kernel is
+the classic GPU-style merge-path merge, adapted to TPU/Mosaic constraints:
 
-  * merge-path partitioning (computed OUTSIDE the kernel with a vectorized
-    binary search — tiny) gives each grid tile an independent, exactly-C
+  * merge-path partitioning (vectorized binary search, computed in XLA
+    outside the kernel) gives each grid tile an independent, exactly-`tile`
     slice of the output;
-  * each tile DMAs a fixed C-window of each input (merge-path guarantees
-    every element beyond a tile's true extent is >= all tile elements, so no
-    masking is needed), concatenates A with reversed(B) into a bitonic
-    sequence, and runs a log2(2C)-stage bitonic merger on the VPU;
-  * ties are broken by a global index column (A before B), making the
-    compare total and the merge stable — so duplicate keys keep their
-    payloads intact across tile boundaries;
-  * the C smallest of the 2C merged elements ARE the output tile.
+  * Mosaic requires dynamic DMA starts to be 1024-element aligned, so each
+    tile loads an ALIGNED window of tile+1024 elements per side and masks
+    the `da`/`db` elements below its true extent to (key=0, idx=-1).
+    Because tile boundaries and alignment are both 1024-multiples,
+    da+db is provably in {0, 1024} — the output is a STATIC two-way slice
+    select, no dynamic shifts anywhere;
+  * the 4*tile sequence [masked A ascending, MAX pad | MAX pad, B
+    descending, masked] is bitonic; a log2(4*tile)-stage bitonic merger
+    runs on the VPU using only `pltpu.roll` (sublane axis for strides >=
+    128, lane axis below) + elementwise selects — an element's stride-s
+    partner is index XOR s, and the wrong-direction wrap of the circular
+    roll is discarded by the is_lower select;
+  * a global-index column makes the compare a total order, so the merge is
+    stable (A before B on ties) and duplicate keys keep their payloads
+    intact across tile boundaries.
 
-Keys are single uint32 (covers the packed flag|kmer key for k <= 15; wider
-keys fall back to lax.sort).  An arbitrary number of int32/uint32 payload
-columns ride along through the compare-exchange network.
+Keys are single uint32 (the packed flag|kmer key for k <= 15; wider keys
+fall back to lax.sort).  Any number of uint32/int32 payload columns ride
+through the network.  B inputs are passed globally reversed because Mosaic
+has no `rev` primitive: loading the reversed array yields each tile's B
+window already descending.
 """
 
 from __future__ import annotations
@@ -29,11 +37,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE = 1 << 14  # C: output elements per grid step
+DEFAULT_TILE = 1 << 13  # output elements per grid step (pow2, >= 1024)
+ALIGN = 1024            # Mosaic dynamic-slice alignment for 32-bit dtypes
+LANES = 128
+MAX_KEY = 0xFFFFFFFF  # python int: jnp scalars would be captured consts in the kernel
 
 
 def merge_path_partition(a_keys: jax.Array, b_keys: jax.Array,
@@ -41,9 +51,7 @@ def merge_path_partition(a_keys: jax.Array, b_keys: jax.Array,
     """Per-tile split points (a_starts, b_starts), each int32 [T+1].
 
     a_starts[t] = number of A elements among the first t*tile merged
-    elements, under the stable order (A wins ties).  Vectorized binary
-    search on the cross-diagonal; O(T log(M+N)) — negligible.
-    """
+    elements, under the stable order (A wins ties)."""
     m = a_keys.shape[0]
     n = b_keys.shape[0]
     total = m + n
@@ -74,80 +82,47 @@ def merge_path_partition(a_keys: jax.Array, b_keys: jax.Array,
     return lo, diag - lo
 
 
-def _bitonic_merge(cols: list[jax.Array], c2: int) -> list[jax.Array]:
-    """Bitonic merger over a (c2,)-bitonic sequence; cols[0:2]=(key, idx)
-    define the total order, remaining cols are payload."""
-    s = c2 // 2
+def _bitonic_merge_2d(cols2d: list[jax.Array], rows: int) -> list[jax.Array]:
+    """Bitonic merger on a row-major (rows, 128) bitonic sequence.
+    cols2d[0:2] = (key uint32, idx int32) define the total order."""
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    s = (rows * LANES) // 2
     while s >= 1:
-        split = [col.reshape(c2 // (2 * s), 2, s) for col in cols]
-        lo = [col[:, 0, :] for col in split]
-        hi = [col[:, 1, :] for col in split]
-        swap = (lo[0] > hi[0]) | ((lo[0] == hi[0]) & (lo[1] > hi[1]))
-        new_cols = []
-        for lo_c, hi_c in zip(lo, hi):
-            nlo = jnp.where(swap, hi_c, lo_c)
-            nhi = jnp.where(swap, lo_c, hi_c)
-            new_cols.append(
-                jnp.stack([nlo, nhi], axis=1).reshape(c2)
-            )
-        cols = new_cols
+        if s >= LANES:
+            sr = s // LANES
+            ups = [pltpu.roll(c, rows - sr, axis=0) for c in cols2d]
+            downs = [pltpu.roll(c, sr, axis=0) for c in cols2d]
+            is_lower = (row_id & sr) == 0
+        else:
+            ups = [pltpu.roll(c, LANES - s, axis=1) for c in cols2d]
+            downs = [pltpu.roll(c, s, axis=1) for c in cols2d]
+            is_lower = (lane_id & s) == 0
+        partner = [
+            jnp.where(is_lower, up, down) for up, down in zip(ups, downs)
+        ]
+        k_s, i_s = cols2d[0], cols2d[1]
+        k_p, i_p = partner[0], partner[1]
+        self_less = (k_s < k_p) | ((k_s == k_p) & (i_s < i_p))
+        keep_self = jnp.where(is_lower, self_less, ~self_less)
+        cols2d = [
+            jnp.where(keep_self, c, p) for c, p in zip(cols2d, partner)
+        ]
         s //= 2
-    return cols
-
-
-def _merge_kernel(a_start_ref, b_start_ref, a_refs, b_refs, out_refs,
-                  scratch_refs, sems, *, tile: int, n_cols: int, m: int):
-    t = pl.program_id(0)
-    a0 = a_start_ref[t]
-    b0 = b_start_ref[t]
-
-    # DMA fixed C-windows of every column of both inputs into VMEM
-    dmas = []
-    for i in range(n_cols):
-        dmas.append(pltpu.make_async_copy(
-            a_refs[i].at[pl.ds(a0, tile)], scratch_refs[2 * i],
-            sems.at[2 * i],
-        ))
-        dmas.append(pltpu.make_async_copy(
-            b_refs[i].at[pl.ds(b0, tile)], scratch_refs[2 * i + 1],
-            sems.at[2 * i + 1],
-        ))
-    for dma in dmas:
-        dma.start()
-    for dma in dmas:
-        dma.wait()
-
-    c2 = 2 * tile
-    # global tiebreak index: A rows = global position, B rows = m + position
-    pos = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0).reshape(tile)
-    a_idx = a0 + pos
-    b_idx = m + b0 + pos
-
-    cols = []
-    key_a = scratch_refs[0][:].reshape(tile)
-    key_b = scratch_refs[1][:].reshape(tile)
-    cols.append(jnp.concatenate([key_a, key_b[::-1]]))
-    cols.append(jnp.concatenate([a_idx, b_idx[::-1]]))
-    for i in range(1, n_cols):
-        pay_a = scratch_refs[2 * i][:].reshape(tile)
-        pay_b = scratch_refs[2 * i + 1][:].reshape(tile)
-        cols.append(jnp.concatenate([pay_a, pay_b[::-1]]))
-
-    merged = _bitonic_merge(cols, c2)
-    out_refs[0][:] = merged[0][:tile].reshape(out_refs[0].shape)
-    for i in range(1, n_cols):
-        out_refs[i][:] = merged[2 + i - 1][:tile].reshape(out_refs[i].shape)
+    return cols2d
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def merge_sorted(a_cols: tuple, b_cols: tuple, tile: int = DEFAULT_TILE,
                  interpret: bool = False):
-    """Merge two sorted runs given as tuples of equal-length columns.
+    """Merge two sorted runs given as tuples of equal-length 1-D columns.
 
-    a_cols[0]/b_cols[0] are the uint32 sort keys (ascending); remaining
-    columns are payloads.  Returns merged columns of length M+N.
-    Total length must be a multiple of `tile`.
+    a_cols[0]/b_cols[0]: uint32 sort keys, ascending, value < 0xFFFFFFFF.
+    Returns merged columns of length M+N (must be a multiple of `tile`;
+    tile must be a power of two >= 1024).
     """
+    if tile < ALIGN or tile & (tile - 1):
+        raise ValueError("tile must be a power of two >= 1024")
     n_cols = len(a_cols)
     m = a_cols[0].shape[0]
     n = b_cols[0].shape[0]
@@ -155,55 +130,151 @@ def merge_sorted(a_cols: tuple, b_cols: tuple, tile: int = DEFAULT_TILE,
     if total % tile != 0:
         raise ValueError(f"total length {total} not a multiple of {tile}")
     t_tiles = total // tile
+    win = tile + ALIGN       # aligned load window per side
+    win_rows = win // LANES
+    half_rows = 2 * tile // LANES
+    pad_rows = half_rows - win_rows
+    seq_rows = 2 * half_rows  # 4*tile elements
+
     a_starts, b_starts = merge_path_partition(a_cols[0], b_cols[0], tile)
+    a_al = (a_starts[:-1] // ALIGN) * ALIGN
+    b_al = (b_starts[:-1] // ALIGN) * ALIGN
+    da = a_starts[:-1] - a_al
+    db = b_starts[:-1] - b_al
+    # da+db is 0 or ALIGN (both tile boundaries and alignments are
+    # ALIGN-multiples); the kernel selects the output slice statically
+    off_rows = (da + db) // LANES  # 0 or 8
 
-    # pad inputs so fixed C-windows never read out of bounds; KEY padding
-    # must be the maximum value so overruns sort after every real element
-    # (keys must therefore be < 0xFFFFFFFF; the packed flag|kmer keys are)
-    def pad(col, is_key):
-        fill = jnp.full(
-            (tile,),
-            0xFFFFFFFF if is_key else 0,
-            col.dtype if not is_key else jnp.uint32,
-        ).astype(col.dtype)
-        return jnp.concatenate([col, fill])
+    def pad_to(col, length, is_key):
+        fill = jnp.full((length - col.shape[0],), MAX_KEY, jnp.uint32)
+        return jnp.concatenate([col, fill.astype(col.dtype)])
 
-    a_pad = [pad(c, i == 0) for i, c in enumerate(a_cols)]
-    b_pad = [pad(c, i == 0) for i, c in enumerate(b_cols)]
+    # A side: padded so any aligned window [a_al, a_al+win) is in bounds
+    m_pad = ((m + win + LANES - 1) // LANES) * LANES
+    a_pad = [pad_to(c, m_pad, i == 0) for i, c in enumerate(a_cols)]
+    # B side: globally reversed.  Window for tile t loads reversed rows
+    # starting at q0 = n_front + n - b_al (ALIGN-aligned since
+    # n_front + n == 0 and b_al == 0 mod ALIGN); with a front fill of
+    # n_front + win elements, reversed position q maps to original index
+    # j = (n_front + win) + n - 1 - q, so the window covers original
+    # [b_al, b_al + win) in DESCENDING order.
+    n_front = (-n) % ALIGN
+    front_len = n_front + win
+    n_pad_len = front_len + n + win
+    n_pad_len = ((n_pad_len + LANES - 1) // LANES) * LANES
+
+    def rev_pad(col):
+        return jnp.concatenate([
+            jnp.full((front_len,), MAX_KEY, jnp.uint32).astype(col.dtype),
+            jnp.flip(col),
+            jnp.full((n_pad_len - front_len - n,), MAX_KEY,
+                     jnp.uint32).astype(col.dtype),
+        ])
+
+    b_rev = [rev_pad(c) for c in b_cols]
+    brev_row0 = n_front + n - b_al
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=5,  # a_al_rows, brev_rows, da, db, off_rows
         grid=(t_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * n_cols),
         out_specs=[
-            pl.BlockSpec((tile,), lambda t, *_: (t,),
+            pl.BlockSpec((tile // LANES, LANES), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM)
         ] * n_cols,
         scratch_shapes=(
-            [pltpu.VMEM((tile,), c.dtype) for pair in zip(a_cols, b_cols)
-             for c in pair]
+            [pltpu.VMEM((win_rows, LANES), c.dtype)
+             for pair in zip(a_cols, b_cols) for c in pair]
             + [pltpu.SemaphoreType.DMA((2 * n_cols,))]
         ),
     )
 
-    def kernel(a_start_ref, b_start_ref, *refs):
+    def kernel(a_row_ref, brev_row_ref, da_ref, db_ref, off_ref, *refs):
         a_refs = refs[0 : 2 * n_cols : 2]
         b_refs = refs[1 : 2 * n_cols : 2]
         out_refs = refs[2 * n_cols : 3 * n_cols]
-        scratch = refs[3 * n_cols : 3 * n_cols + 2 * n_cols]
+        scratch = refs[3 * n_cols : 5 * n_cols]
         sems = refs[-1]
-        _merge_kernel(a_start_ref, b_start_ref, a_refs, b_refs, out_refs,
-                      scratch, sems, tile=tile, n_cols=n_cols, m=m)
+        t = pl.program_id(0)
+        ar = a_row_ref[t]
+        br = brev_row_ref[t]
 
+        dmas = []
+        for i in range(n_cols):
+            dmas.append(pltpu.make_async_copy(
+                a_refs[i].at[pl.ds(ar, win_rows), :], scratch[2 * i],
+                sems.at[2 * i],
+            ))
+            dmas.append(pltpu.make_async_copy(
+                b_refs[i].at[pl.ds(br, win_rows), :], scratch[2 * i + 1],
+                sems.at[2 * i + 1],
+            ))
+        for dma in dmas:
+            dma.start()
+        for dma in dmas:
+            dma.wait()
+
+        da_t = da_ref[t]
+        db_t = db_ref[t]
+        win_pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (win_rows, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (win_rows, LANES), 1)
+        )
+        # A window (ascending): mask below-extent elements to (0, -1)
+        a_masked = win_pos < da_t
+        a_key = jnp.where(a_masked, 0, scratch[0][:])
+        a_idx = jnp.where(a_masked, -1, (ar * LANES) + win_pos)
+        # B window (descending): below-extent elements sit at the END
+        b_masked = win_pos >= (win - db_t)
+        b_key = jnp.where(b_masked, 0, scratch[1][:])
+        q = br * LANES + win_pos  # position in the reversed array
+        b_idx = jnp.where(
+            b_masked, -1, m + ((n_front + win) + n - 1 - q)
+        )
+
+        maxpad_key = jnp.full((pad_rows, LANES), MAX_KEY, jnp.uint32)
+        maxpad_idx = jnp.full((pad_rows, LANES), 2**31 - 1, jnp.int32)
+
+        def seq(a2d, pad2d, b2d):
+            return jnp.concatenate([a2d, pad2d, pad2d, b2d], axis=0)
+
+        cols2d = [
+            seq(a_key, maxpad_key.astype(a_key.dtype), b_key),
+            seq(a_idx, maxpad_idx, b_idx),
+        ]
+        for i in range(1, n_cols):
+            pa = scratch[2 * i][:]
+            pb = scratch[2 * i + 1][:]
+            cols2d.append(seq(pa, maxpad_idx.astype(pa.dtype), pb))
+
+        merged = _bitonic_merge_2d(cols2d, seq_rows)
+
+        shifted = off_ref[t] != 0
+        tr = tile // LANES
+        for i in range(n_cols):
+            src = merged[0] if i == 0 else merged[2 + i - 1]
+            lo_slice = jax.lax.slice_in_dim(src, 0, tr, axis=0)
+            hi_slice = jax.lax.slice_in_dim(
+                src, ALIGN // LANES, ALIGN // LANES + tr, axis=0
+            )
+            out_refs[i][:] = jnp.where(shifted, hi_slice, lo_slice)
+
+    # reshape inputs to row-major 2D for aligned row-sliced DMA
     inputs = []
-    for a_c, b_c in zip(a_pad, b_pad):
-        inputs.extend([a_c, b_c])
+    for a_c, b_c in zip(a_pad, b_rev):
+        inputs.append(a_c.reshape(-1, LANES))
+        inputs.append(b_c.reshape(-1, LANES))
+
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((total,), c.dtype) for c in a_cols
+            jax.ShapeDtypeStruct((total // LANES, LANES), c.dtype)
+            for c in a_cols
         ],
         interpret=interpret,
-    )(a_starts, b_starts, *inputs)
-    return tuple(out)
+    )(
+        a_al // LANES, brev_row0 // LANES, da, db, off_rows,
+        *inputs,
+    )
+    return tuple(o.reshape(total) for o in out)
