@@ -131,3 +131,51 @@ def test_store_lookup():
     digits = np.asarray(digits)
     assert found.tolist() == [True, True, True, False]
     assert [counts_to_int(*d) for d in digits] == [2, 3, 1, 0]
+
+
+def test_merge_stacked_pallas_interpret_matches_xla():
+    """The Pallas merge fast path (interpret mode) must be bit-identical to
+    the XLA merge_stacked path."""
+    import jax.numpy as jnp
+
+    spec = KmerSpec(14)
+    store = CountStore(spec, capacity=2048)
+    rng = np.random.default_rng(42)
+    r, p = 2, 1024
+
+    state = store.init_state()
+    # preload the store with some keys
+    pre = np.sort(rng.choice(2**28, size=600, replace=False)).astype(np.uint32)
+    uc0 = count_unique(
+        jnp.asarray(np.pad(pre[:, None], ((0, p - 600), (0, 0)))),
+        jnp.asarray(np.arange(p) < 600),
+        spec=spec,
+    )
+    state = store.merge(state, uc0.keys, uc0.counts, uc0.valid)
+
+    ukeys = np.zeros((r, p, 1), np.uint32)
+    ucounts = np.zeros((r, p), np.int32)
+    uvalid = np.zeros((r, p), bool)
+    for i in range(r):
+        n = int(rng.integers(100, p))
+        keys = np.sort(rng.choice(2**28, size=n, replace=False))
+        ukeys[i, :n, 0] = keys
+        ucounts[i, :n] = rng.integers(1, 100, size=n)
+        uvalid[i, :n] = True
+
+    xla = store.merge_stacked(
+        state, jnp.asarray(ukeys), jnp.asarray(ucounts), jnp.asarray(uvalid)
+    )
+    pal = store._merge_stacked_pallas(
+        state, jnp.asarray(ukeys), jnp.asarray(ucounts),
+        jnp.asarray(uvalid), interpret=True, tile=1024,
+    )
+    assert int(pal.n) == int(xla.n)
+    n = int(xla.n)
+    np.testing.assert_array_equal(
+        np.asarray(pal.keys[:n]), np.asarray(xla.keys[:n])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pal.digits[:n]), np.asarray(xla.digits[:n])
+    )
+    assert bool(pal.overflowed) == bool(xla.overflowed)

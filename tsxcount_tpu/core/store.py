@@ -66,6 +66,19 @@ class CountStore:
             state, ukeys[None], ucounts[None], uvalid[None]
         )
 
+    def _pallas_mergeable(self, r: int, p: int) -> bool:
+        """The Pallas merge fast path applies when keys pack into one uint32
+        below 2^31 (k <= 15) and sizes tile evenly, on a real TPU."""
+        from tsxcount_tpu.ops.pallas_merge import DEFAULT_TILE
+
+        return (
+            self.spec.lanes == 1
+            and self.spec.top_lane_bits <= 30
+            and self.capacity % DEFAULT_TILE == 0
+            and p % DEFAULT_TILE == 0
+            and jax.default_backend() == "tpu"
+        )
+
     def merge_stacked(self, state: StoreState, ukeys: jax.Array,
                       ucounts: jax.Array, uvalid: jax.Array) -> StoreState:
         """Merge R deduped batch histograms into the store in ONE sort.
@@ -78,9 +91,15 @@ class CountStore:
         trick.  Deferring merges this way amortizes the O(capacity) re-sort
         over R batches — the streaming cost is O(P log R + capacity/R) per
         batch instead of O(capacity).
+
+        On TPU with k <= 15, the big lax.sort is replaced by the Pallas
+        merge-path kernel (all inputs are pre-sorted runs; measured 4.7x
+        faster than re-sorting, tools/microbench.py / ops/pallas_merge.py).
         """
         cap = self.capacity
         r, p, lanes = ukeys.shape
+        if self._pallas_mergeable(r, p):
+            return self._merge_stacked_pallas(state, ukeys, ucounts, uvalid)
         total = cap + r * p
         inv = jnp.concatenate([~state.used, ~uvalid.reshape(-1)])
         keys = jnp.concatenate([state.keys, ukeys.reshape(-1, lanes)], axis=0)
@@ -111,6 +130,69 @@ class CountStore:
             [col[:cap] for col in rep[len(ops) :]], axis=1
         )
         inv_rows = _invalid_bits(ops_s[0], ops_s, self.spec)
+        n_new = jnp.sum(flag & ~inv_rows, dtype=jnp.int32)
+        overflow = state.overflowed | (n_new > cap)
+        n_kept = jnp.minimum(n_new, cap)
+        return StoreState(
+            keys=new_keys,
+            digits=renorm_digits(new_digits),
+            used=jnp.arange(cap, dtype=jnp.int32) < n_kept,
+            n=n_kept,
+            overflowed=overflow,
+        )
+
+    def _merge_stacked_pallas(self, state: StoreState, ukeys: jax.Array,
+                              ucounts: jax.Array, uvalid: jax.Array,
+                              interpret: bool = False,
+                              tile: int | None = None) -> StoreState:
+        """merge_stacked via the Pallas merge-path kernel (k <= 15).
+
+        All inputs are already sorted runs: the store's used prefix and each
+        batch histogram's valid prefix.  Invalid/unused rows are re-masked
+        to the constant (flag<<top | 0) so every run is globally ascending,
+        then merged pairwise; flags + first-row-anchored segment sums +
+        one compaction sort finish exactly like the XLA path.
+        """
+        from tsxcount_tpu.ops.count import _segmented_sum_rev
+        from tsxcount_tpu.ops.pallas_merge import DEFAULT_TILE, merge_sorted
+
+        tile = tile or DEFAULT_TILE
+        cap = self.capacity
+        r, p, lanes = ukeys.shape
+        spec = self.spec
+        invalid_const = jnp.uint32(1 << spec.top_lane_bits)
+
+        (store_keys,) = pack_flag_key(state.keys, ~state.used, spec)
+        store_run = (
+            store_keys,
+            state.digits[:, 0], state.digits[:, 1], state.digits[:, 2],
+        )
+        runs = []
+        for i in range(r):
+            (pk,) = pack_flag_key(ukeys[i], ~uvalid[i], spec)
+            pk = jnp.where(uvalid[i], pk, invalid_const)
+            dg = int32_to_digits(
+                jnp.where(uvalid[i], ucounts[i].astype(jnp.int32), 0)
+            )
+            runs.append((pk, dg[:, 0], dg[:, 1], dg[:, 2]))
+
+        acc = runs[0]
+        for nxt in runs[1:]:
+            acc = merge_sorted(acc, nxt, tile=tile, interpret=interpret)
+        merged = merge_sorted(store_run, acc, tile=tile, interpret=interpret)
+
+        keys_s = merged[0]
+        d = jnp.stack(merged[1:4], axis=1)
+        flag = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), keys_s[1:] != keys_s[:-1]]
+        )
+        dsum = _segmented_sum_rev(d, flag, r + 1)
+        _, rep = compact_rows(
+            flag, [keys_s, dsum[:, 0], dsum[:, 1], dsum[:, 2]]
+        )
+        new_keys, _ = unpack_flag_key([rep[0][:cap]], spec)
+        new_digits = jnp.stack([c[:cap] for c in rep[1:]], axis=1)
+        inv_rows = (keys_s >> spec.top_lane_bits) != 0
         n_new = jnp.sum(flag & ~inv_rows, dtype=jnp.int32)
         overflow = state.overflowed | (n_new > cap)
         n_kept = jnp.minimum(n_new, cap)

@@ -104,7 +104,9 @@ def _bitonic_merge_2d(cols2d: list[jax.Array], rows: int) -> list[jax.Array]:
         k_s, i_s = cols2d[0], cols2d[1]
         k_p, i_p = partner[0], partner[1]
         self_less = (k_s < k_p) | ((k_s == k_p) & (i_s < i_p))
-        keep_self = jnp.where(is_lower, self_less, ~self_less)
+        # pure i1 logic: Mosaic rejects jnp.where on boolean operands
+        # ("unsupported target bitwidth for truncation")
+        keep_self = (is_lower & self_less) | ~(is_lower | self_less)
         cols2d = [
             jnp.where(keep_self, c, p) for c, p in zip(cols2d, partner)
         ]
