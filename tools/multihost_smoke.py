@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Two-process jax.distributed smoke test on CPU (multi-host path validation).
+
+Spawns N worker processes, each a separate jax process with its own CPU
+device, forming one global mesh; every worker packs its record stripe of the
+same FASTQ and the sharded counter runs as a single SPMD program with
+all_to_all over the (simulated) DCN.  Worker 0 verifies exact counts.
+
+Run directly: python tools/multihost_smoke.py [--workers 2]
+Exit 0 = counts exact across processes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def worker_main() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    coord = os.environ["SMOKE_COORD"]
+    nproc = int(os.environ["SMOKE_NPROC"])
+    pid = int(os.environ["SMOKE_PID"])
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=nproc, process_id=pid
+    )
+    assert jax.process_count() == nproc
+    assert jax.device_count() == nproc  # 1 cpu device per process
+
+    sys.path.insert(0, str(REPO))
+    from tsxcount_tpu.parallel.distributed import count_file_distributed
+    from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
+
+    fastq = os.environ["SMOKE_FASTQ"]
+    counter = ShardedKmerCounter(
+        k=9, n_shards=nproc, l=15, batch_words=64
+    )
+    count_file_distributed(counter, fastq, stride=7)
+    # stats require cross-process reads of non-addressable shards; use
+    # process_allgather for the distinct total
+    from jax.experimental import multihost_utils
+
+    import numpy as np
+
+    local_n = np.asarray(jax.device_get(
+        counter.state.n.addressable_shards[0].data
+    ))
+    totals = multihost_utils.process_allgather(local_n)
+    distinct = int(np.sum(totals))
+    golden = json.loads(Path(os.environ["SMOKE_GOLDEN"]).read_text())
+    # SPMD: every process must execute the same computations (the lookup is
+    # a collective program); only worker 0 reports
+    assert distinct == len(golden), (distinct, len(golden))
+    some = sorted(golden)[:64]
+    got = counter.get_counts(some)
+    assert got == [golden[km] for km in some], "count mismatch"
+    if pid == 0:
+        print(f"worker0: distinct={distinct} expected={len(golden)}")
+        print("worker0: multihost counts exact")
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workers", type=int, default=2)
+    args = ap.parse_args()
+
+    import collections
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    tmp = Path(tempfile.mkdtemp(prefix="multihost_smoke_"))
+    fastq = tmp / "in.fastq"
+    golden_path = tmp / "golden.json"
+    reads = [
+        "".join(np.random.default_rng(i).choice(list("ACGT"),
+                size=int(rng.integers(12, 60))))
+        for i in range(60)
+    ]
+    with open(fastq, "w") as f:
+        for i, seq in enumerate(reads):
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+    counts: collections.Counter = collections.Counter()
+    for seq in reads:
+        for i in range(max(0, len(seq) - 8)):
+            counts[seq[i : i + 9]] += 1
+    golden_path.write_text(json.dumps(dict(counts)))
+
+    env_base = {
+        **os.environ,
+        "SMOKE_COORD": "127.0.0.1:39191",
+        "SMOKE_NPROC": str(args.workers),
+        "SMOKE_FASTQ": str(fastq),
+        "SMOKE_GOLDEN": str(golden_path),
+        "SMOKE_WORKER": "1",
+    }
+    procs = []
+    for pid in range(args.workers):
+        env = dict(env_base, SMOKE_PID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, __file__],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        ))
+    rc = 0
+    for pid, proc in enumerate(procs):
+        out, _ = proc.communicate(timeout=600)
+        if proc.returncode != 0:
+            rc = 1
+        tag = "FAIL" if proc.returncode else "ok"
+        print(f"--- worker {pid} [{tag}] ---")
+        print("\n".join(out.splitlines()[-12:]))
+    print("MULTIHOST SMOKE:", "FAIL" if rc else "PASS")
+    return rc
+
+
+if __name__ == "__main__":
+    if os.environ.get("SMOKE_WORKER"):
+        sys.exit(worker_main())
+    sys.exit(main())

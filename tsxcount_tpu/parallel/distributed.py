@@ -56,10 +56,44 @@ def count_file_distributed(counter, path: str | Path,
                            stride: int = 64) -> None:
     """Feed a ShardedKmerCounter its host-local stripe of `path`.
 
-    With process_count == 1 this is identical to counter.count_file.
+    SPMD discipline: every process must dispatch the SAME number of global
+    steps (each step contains collectives), but read stripes pack into
+    different batch counts per host.  So each host packs its stripe fully,
+    the global maximum batch count is agreed via allgather, and shorter
+    hosts pad with empty batches.  With process_count == 1 this degenerates
+    to counter.count_file.
     """
+    import numpy as np
+
     host, n_hosts = jax.process_index(), jax.process_count()
-    counter.add_reads(
-        rec.seq for rec in striped_records(path, host, n_hosts, stride)
-    )
+    batches = []
+    for rec in striped_records(path, host, n_hosts, stride):
+        batches.extend(counter.packer.feed(rec.seq))
+    batches.extend(counter.packer.finish())
+
+    if n_hosts > 1:
+        from jax.experimental import multihost_utils
+
+        counts = np.asarray(multihost_utils.process_allgather(
+            np.asarray([len(batches)], np.int64)
+        )).reshape(-1)
+        target = int(counts.max())
+        while len(batches) < target:
+            batches.append(_empty_batch(counter.batch))
+
+    counter._pending.extend(batches)
+    counter._dispatch_pending(force=True)
     counter.finish()
+
+
+def _empty_batch(batch_spec):
+    import numpy as np
+
+    from tsxcount_tpu.io.packer import PackedBatch
+
+    return PackedBatch(
+        words=np.zeros(batch_spec.total_words, np.uint32),
+        vmask=np.zeros(batch_spec.capacity_words, np.uint32),
+        n_valid=0,
+        n_bases=0,
+    )

@@ -369,14 +369,14 @@ class ShardedKmerCounter:
         self._dispatch_pending(force=True)
         jax.block_until_ready(self.state)
         if self.backend == "table":
-            spilled = int(np.sum(np.asarray(jax.device_get(self.state.spilled))))
+            spilled = int(np.sum(self._gather(self.state.spilled)))
             if spilled:
                 raise TableFull(
                     f"{spilled} kmers unresolved after "
                     f"{self.table.max_reprobes} reprobes in a table shard; "
                     f"increase --l"
                 )
-        elif bool(np.any(np.asarray(jax.device_get(self.state.overflowed)))):
+        elif bool(np.any(self._gather(self.state.overflowed))):
             raise TableFull(
                 f"a table shard exceeded capacity 2^{self.l}/{self.n_shards}; "
                 f"rerun with larger --l"
@@ -388,9 +388,26 @@ class ShardedKmerCounter:
 
     # --- queries / export ---
 
+    def _gather(self, arr) -> np.ndarray:
+        """Fetch a shard-partitioned state array on every process.
+
+        Single-process: plain device_get.  Multi-process: concatenate the
+        addressable shards and allgather across processes (shard order is
+        process-major, matching make_shard_mesh's jax.devices() order).
+        """
+        if jax.process_count() == 1:
+            return np.asarray(jax.device_get(arr))
+        from jax.experimental import multihost_utils
+
+        local = np.concatenate(
+            [np.asarray(sh.data) for sh in arr.addressable_shards], axis=0
+        )
+        gathered = np.asarray(multihost_utils.process_allgather(local))
+        return gathered.reshape(arr.shape)
+
     @property
     def distinct(self) -> int:
-        return int(np.sum(np.asarray(jax.device_get(self.state.n))))
+        return int(np.sum(self._gather(self.state.n)))
 
     @property
     def total_kmers(self) -> int:
@@ -426,13 +443,13 @@ class ShardedKmerCounter:
             yield from self._items_table()
             return
         cap = self.store.capacity
-        keys = np.asarray(jax.device_get(self.state.keys)).reshape(
+        keys = self._gather(self.state.keys).reshape(
             self.n_shards, cap, self.spec.lanes
         )
-        digits = np.asarray(jax.device_get(self.state.digits)).reshape(
+        digits = self._gather(self.state.digits).reshape(
             self.n_shards, cap, -1
         )
-        ns = np.asarray(jax.device_get(self.state.n))
+        ns = self._gather(self.state.n)
         for shard in range(self.n_shards):
             n = int(ns[shard])
             if n == 0:
@@ -447,7 +464,7 @@ class ShardedKmerCounter:
 
         slots = self.table.slots
         host = {
-            name: np.asarray(jax.device_get(val))
+            name: self._gather(val)
             for name, val in self.state._asdict().items()
         }
         for shard in range(self.n_shards):
@@ -503,7 +520,7 @@ class ShardedKmerCounter:
 
     def stats(self) -> dict:
         st = dataclasses.asdict(self.packer.stats)
-        ns = np.asarray(jax.device_get(self.state.n))
+        ns = self._gather(self.state.n)
         st.update(
             backend=self.backend,
             k=self.spec.k,
