@@ -65,7 +65,7 @@ def load_measured_baseline() -> float | None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=14)
-    ap.add_argument("--l", type=int, default=25)
+    ap.add_argument("--l", type=int, default=24)
     ap.add_argument("--batch-words", type=int, default=1 << 20)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--backend", default="sort")

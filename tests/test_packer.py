@@ -32,9 +32,9 @@ def kmers_from_batches(batches, k):
         chars = np.array(list("ACGT"))[codes]
         for w in range(len(pb.vmask)):
             bits = int(pb.vmask[w])
-            for s in range(BASES_PER_WORD):
+            for s in range(32):
                 if bits & (1 << s):
-                    p = w * BASES_PER_WORD + s
+                    p = w * 32 + s
                     out["".join(chars[p : p + k])] += 1
     return out
 

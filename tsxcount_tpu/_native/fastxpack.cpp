@@ -13,8 +13,9 @@
 //   * every read starts on a 16-base word boundary;
 //   * reads shorter than k are skipped (reference testExecution.h:18-19);
 //   * reads longer than remaining capacity split with k-1 base overlap;
-//   * bit s of vmask[w] marks window start position 16*w+s as valid:
-//     fully inside one read segment and (drop policy) N-free;
+//   * bit p%32 of vmask[p/32] marks window start position p as valid
+//     (dense 1 bit/position): fully inside one read segment and (drop
+//     policy) N-free;
 //   * n_policy: 0 = drop (windows containing N masked),
 //               1 = random (N replaced by a seeded random base — the
 //               reference's nondeterministic behavior, SequenceUtils.h:126-137,
@@ -221,9 +222,11 @@ void place_segment(Handle *h, uint32_t *words, uint32_t *vmask, int64_t w0,
   }
   // windows fully inside the segment with k consecutive valid bases
   int64_t n_win = (int64_t)seg_len - h->k + 1;
+  int64_t base = w0 * kBasesPerWord;
   for (int64_t p = 0; p < n_win; ++p) {
     if (run[p] >= h->k) {
-      vmask[w0 + (p >> 4)] |= 1u << (p & 15);
+      int64_t g = base + p;
+      vmask[g >> 5] |= 1u << (g & 31);
       h->windows++;
     }
   }
@@ -258,12 +261,13 @@ void *fxp_open(const char *path, int k, int n_policy, uint64_t seed) {
 // vmask capacity_words uint32; both are zeroed here.
 // Returns 1 if more data may follow, 0 on EOF (batch may still hold data),
 // -1 on parse error.
+// vmask holds vmask_words = capacity_words/2 uint32 (1 bit per window pos)
 int fxp_next_batch(void *hv, uint32_t *words, int64_t total_words,
                    uint32_t *vmask, int64_t capacity_words, int64_t *n_valid,
                    int64_t *n_bases_out) {
   Handle *h = (Handle *)hv;
   memset(words, 0, (size_t)total_words * sizeof(uint32_t));
-  memset(vmask, 0, (size_t)capacity_words * sizeof(uint32_t));
+  memset(vmask, 0, (size_t)(capacity_words / 2) * sizeof(uint32_t));
   int64_t cur_word = 0;
   int64_t batch_bases = 0;
   int64_t windows_before = h->windows;

@@ -72,6 +72,11 @@ class BatchSpec:
     spec: KmerSpec
     capacity_words: int
 
+    def __post_init__(self):
+        if self.capacity_words % 2:
+            raise ValueError("capacity_words must be even (vmask packs 32 "
+                             "window bits per uint32)")
+
     @property
     def pad_words(self) -> int:
         return self.spec.lanes
@@ -83,6 +88,12 @@ class BatchSpec:
     @property
     def positions(self) -> int:
         return BASES_PER_WORD * self.capacity_words
+
+    @property
+    def vmask_words(self) -> int:
+        """uint32 words of the validity bitmask: 1 bit per window position
+        (positions = 16 * capacity_words, packed 32 per word)."""
+        return self.capacity_words // 2
 
     @property
     def capacity_bases(self) -> int:

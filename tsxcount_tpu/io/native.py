@@ -119,7 +119,7 @@ class NativeFileReader:
         try:
             while True:
                 words = np.zeros(b.total_words, dtype=np.uint32)
-                vmask = np.zeros(b.capacity_words, dtype=np.uint32)
+                vmask = np.zeros(b.vmask_words, dtype=np.uint32)
                 rc = lib.fxp_next_batch(
                     self._handle,
                     words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),

@@ -8,7 +8,7 @@ batched layout the TPU can window-extract without gathers:
   * bases are 2-bit packed into uint32 words, 16 bases/word, LSB-first;
   * every read starts on a word boundary (fresh uint32);
   * a validity *bitmask* marks which window start positions yield a real
-    k-mer: bit s of `vmask[w]` covers position 16*w + s.  A position is valid
+    k-mer: bit p%32 of `vmask[p//32]` covers position p.  A position is valid
     iff the window [p, p+k) lies inside one read and (drop policy) contains
     no N.  Reads shorter than k are skipped, matching the reference
     (testExecution.h:18-19);
@@ -38,7 +38,7 @@ class PackedBatch:
     """One fixed-shape device batch."""
 
     words: np.ndarray          # uint32 [total_words]; last pad_words are zero
-    vmask: np.ndarray          # uint32 [capacity_words]; bit s = pos 16w+s valid
+    vmask: np.ndarray          # uint32 [vmask_words]; bit p%32 of word p//32 = pos p valid
     n_valid: int               # number of valid window positions
     n_bases: int               # bases packed into this batch (incl. overlaps)
 
@@ -69,7 +69,7 @@ class ReadPacker:
     def _reset(self) -> None:
         b = self.batch
         self._words = np.zeros(b.total_words, dtype=np.uint32)
-        self._vmask = np.zeros(b.capacity_words, dtype=np.uint32)
+        self._vmask = np.zeros(b.vmask_words, dtype=np.uint32)
         self._cur_word = 0
         self._n_valid = 0
         self._n_bases = 0
@@ -112,10 +112,11 @@ class ReadPacker:
         else:
             idx = np.arange(n_win, dtype=np.int64)
         if idx.size:
+            gpos = w0 * BASES_PER_WORD + idx  # global window position
             np.bitwise_or.at(
                 self._vmask,
-                w0 + idx // BASES_PER_WORD,
-                (np.uint32(1) << (idx % BASES_PER_WORD).astype(np.uint32)),
+                gpos >> 5,
+                (np.uint32(1) << (gpos & 31).astype(np.uint32)),
             )
         self._n_valid += int(idx.size)
         self.stats.windows += int(idx.size)

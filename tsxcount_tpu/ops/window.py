@@ -55,7 +55,8 @@ def extract_kmers(words: jax.Array, batch: BatchSpec) -> jax.Array:
 
 
 def expand_vmask(vmask: jax.Array, batch: BatchSpec) -> jax.Array:
-    """vmask uint32[capacity_words] -> bool[positions] validity per window."""
-    sh = jnp.arange(BASES_PER_WORD, dtype=jnp.uint32)[None, :]
+    """vmask uint32[vmask_words] -> bool[positions]: bit p%32 of word p//32
+    marks window position p valid (dense: 32 positions per uint32)."""
+    sh = jnp.arange(32, dtype=jnp.uint32)[None, :]
     bits = (vmask[:, None] >> sh) & jnp.uint32(1)
     return bits.reshape(batch.positions).astype(jnp.bool_)

@@ -93,7 +93,7 @@ def _empty_batch(batch_spec):
 
     return PackedBatch(
         words=np.zeros(batch_spec.total_words, np.uint32),
-        vmask=np.zeros(batch_spec.capacity_words, np.uint32),
+        vmask=np.zeros(batch_spec.vmask_words, np.uint32),
         n_valid=0,
         n_bases=0,
     )
