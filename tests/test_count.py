@@ -179,3 +179,48 @@ def test_merge_stacked_pallas_interpret_matches_xla():
         np.asarray(pal.digits[:n]), np.asarray(xla.digits[:n])
     )
     assert bool(pal.overflowed) == bool(xla.overflowed)
+
+
+def test_merge_stacked_pallas_two_lane_matches_xla():
+    """2-lane packed keys (k=31) through the Pallas path == XLA path."""
+    import jax.numpy as jnp
+
+    spec = KmerSpec(31)
+    store = CountStore(spec, capacity=2048)
+    rng = np.random.default_rng(7)
+    r, p = 2, 1024
+    state = store.init_state()
+
+    def rand_keys(n):
+        keys = rng.integers(0, 2**32, size=(n, 2), dtype=np.uint32)
+        keys[:, 1] &= spec.top_lane_mask
+        return np.unique(keys, axis=0)
+
+    ukeys = np.zeros((r, p, 2), np.uint32)
+    ucounts = np.zeros((r, p), np.int32)
+    uvalid = np.zeros((r, p), bool)
+    for i in range(r):
+        keys = rand_keys(700)
+        # sort lexicographically msb-first (lane1 major)
+        order = np.lexsort((keys[:, 0], keys[:, 1]))
+        keys = keys[order]
+        n = len(keys)
+        ukeys[i, :n] = keys
+        ucounts[i, :n] = rng.integers(1, 50, size=n)
+        uvalid[i, :n] = True
+
+    xla = store.merge_stacked(
+        state, jnp.asarray(ukeys), jnp.asarray(ucounts), jnp.asarray(uvalid)
+    )
+    pal = store._merge_stacked_pallas(
+        state, jnp.asarray(ukeys), jnp.asarray(ucounts),
+        jnp.asarray(uvalid), interpret=True, tile=1024,
+    )
+    n = int(xla.n)
+    assert int(pal.n) == n
+    np.testing.assert_array_equal(
+        np.asarray(pal.keys[:n]), np.asarray(xla.keys[:n])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pal.digits[:n]), np.asarray(xla.digits[:n])
+    )

@@ -17,7 +17,7 @@ def test_merge_path_partition_valid():
     rng = np.random.default_rng(0)
     a = _random_sorted(rng, 1000)
     b = _random_sorted(rng, 1048)
-    a_s, b_s = merge_path_partition(jnp.asarray(a), jnp.asarray(b), TILE)
+    a_s, b_s = merge_path_partition((jnp.asarray(a),), (jnp.asarray(b),), TILE)
     a_s, b_s = np.asarray(a_s), np.asarray(b_s)
     assert a_s[0] == 0 and b_s[0] == 0
     assert a_s[-1] == 1000 and b_s[-1] == 1048
@@ -87,6 +87,38 @@ def test_merge_sorted_multiset_exact():
         tile=TILE, interpret=True,
     )
     got = sorted(zip(np.asarray(out_k).tolist(), np.asarray(out_p).tolist()))
+    want = sorted(
+        list(zip(a.tolist(), pa.tolist())) + list(zip(b.tolist(), pb.tolist()))
+    )
+    assert got == want
+
+
+def test_merge_sorted_two_key_columns():
+    """n_keys=2: lexicographic (hi, lo) uint32 pairs (k<=31 keys)."""
+    rng = np.random.default_rng(11)
+    m, n = 2048, 2048
+    ah = rng.integers(0, 8, size=m, dtype=np.uint32)
+    al = rng.integers(0, 2**32, size=m, dtype=np.uint32)
+    a = np.sort(ah.astype(np.uint64) << 32 | al)
+    bh = rng.integers(0, 8, size=n, dtype=np.uint32)
+    bl = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    b = np.sort(bh.astype(np.uint64) << 32 | bl)
+    pa = np.arange(m, dtype=np.int32)
+    pb = np.arange(n, dtype=np.int32) + 100000
+    out = merge_sorted(
+        (jnp.asarray((a >> 32).astype(np.uint32)),
+         jnp.asarray((a & 0xFFFFFFFF).astype(np.uint32)),
+         jnp.asarray(pa)),
+        (jnp.asarray((b >> 32).astype(np.uint32)),
+         jnp.asarray((b & 0xFFFFFFFF).astype(np.uint32)),
+         jnp.asarray(pb)),
+        tile=TILE, interpret=True, n_keys=2,
+    )
+    got = sorted(zip(
+        ((np.asarray(out[0]).astype(np.uint64) << 32)
+         | np.asarray(out[1])).tolist(),
+        np.asarray(out[2]).tolist(),
+    ))
     want = sorted(
         list(zip(a.tolist(), pa.tolist())) + list(zip(b.tolist(), pb.tolist()))
     )

@@ -67,12 +67,13 @@ class CountStore:
         )
 
     def _pallas_mergeable(self, r: int, p: int) -> bool:
-        """The Pallas merge fast path applies when keys pack into one uint32
-        below 2^31 (k <= 15) and sizes tile evenly, on a real TPU."""
+        """The Pallas merge fast path applies when keys pack into at most
+        two uint32 columns with the validity flag below bit 31 of the msb
+        column (k <= 31, excluding k=16) and sizes tile evenly, on TPU."""
         from tsxcount_tpu.ops.pallas_merge import DEFAULT_TILE
 
         return (
-            self.spec.lanes == 1
+            self.spec.lanes <= 2
             and self.spec.top_lane_bits <= 30
             and self.capacity % DEFAULT_TILE == 0
             and p % DEFAULT_TILE == 0
@@ -92,7 +93,7 @@ class CountStore:
         over R batches — the streaming cost is O(P log R + capacity/R) per
         batch instead of O(capacity).
 
-        On TPU with k <= 15, the big lax.sort is replaced by the Pallas
+        On TPU with k <= 31, the big lax.sort is replaced by the Pallas
         merge-path kernel (all inputs are pre-sorted runs; measured 4.7x
         faster than re-sorting, tools/microbench.py / ops/pallas_merge.py).
         """
@@ -145,7 +146,7 @@ class CountStore:
                               ucounts: jax.Array, uvalid: jax.Array,
                               interpret: bool = False,
                               tile: int | None = None) -> StoreState:
-        """merge_stacked via the Pallas merge-path kernel (k <= 15).
+        """merge_stacked via the Pallas merge-path kernel (k <= 31).
 
         All inputs are already sorted runs: the store's used prefix and each
         batch histogram's valid prefix.  Invalid/unused rows are re-masked
@@ -160,39 +161,51 @@ class CountStore:
         cap = self.capacity
         r, p, lanes = ukeys.shape
         spec = self.spec
-        invalid_const = jnp.uint32(1 << spec.top_lane_bits)
+        n_keys = spec.lanes  # packed key columns, msb-first
+        # invalid rows collapse to the constant (flag<<top | 0..): msb op
+        # gets the flag bit, lower ops zero
+        inv_consts = [jnp.uint32(1 << spec.top_lane_bits)] + [
+            jnp.uint32(0)
+        ] * (n_keys - 1)
 
-        (store_keys,) = pack_flag_key(state.keys, ~state.used, spec)
-        store_run = (
-            store_keys,
+        store_ops = pack_flag_key(state.keys, ~state.used, spec)
+        store_run = tuple(store_ops) + (
             state.digits[:, 0], state.digits[:, 1], state.digits[:, 2],
         )
         runs = []
         for i in range(r):
-            (pk,) = pack_flag_key(ukeys[i], ~uvalid[i], spec)
-            pk = jnp.where(uvalid[i], pk, invalid_const)
+            ops = pack_flag_key(ukeys[i], ~uvalid[i], spec)
+            ops = [
+                jnp.where(uvalid[i], op, const)
+                for op, const in zip(ops, inv_consts)
+            ]
             dg = int32_to_digits(
                 jnp.where(uvalid[i], ucounts[i].astype(jnp.int32), 0)
             )
-            runs.append((pk, dg[:, 0], dg[:, 1], dg[:, 2]))
+            runs.append(tuple(ops) + (dg[:, 0], dg[:, 1], dg[:, 2]))
 
         acc = runs[0]
         for nxt in runs[1:]:
-            acc = merge_sorted(acc, nxt, tile=tile, interpret=interpret)
-        merged = merge_sorted(store_run, acc, tile=tile, interpret=interpret)
+            acc = merge_sorted(acc, nxt, tile=tile, interpret=interpret,
+                               n_keys=n_keys)
+        merged = merge_sorted(store_run, acc, tile=tile,
+                              interpret=interpret, n_keys=n_keys)
 
-        keys_s = merged[0]
-        d = jnp.stack(merged[1:4], axis=1)
-        flag = jnp.concatenate(
-            [jnp.ones((1,), jnp.bool_), keys_s[1:] != keys_s[:-1]]
-        )
+        key_cols = list(merged[:n_keys])
+        d = jnp.stack(merged[n_keys : n_keys + 3], axis=1)
+        neq = key_cols[0][1:] != key_cols[0][:-1]
+        for col in key_cols[1:]:
+            neq = neq | (col[1:] != col[:-1])
+        flag = jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
         dsum = _segmented_sum_rev(d, flag, r + 1)
         _, rep = compact_rows(
-            flag, [keys_s, dsum[:, 0], dsum[:, 1], dsum[:, 2]]
+            flag, key_cols + [dsum[:, 0], dsum[:, 1], dsum[:, 2]]
         )
-        new_keys, _ = unpack_flag_key([rep[0][:cap]], spec)
-        new_digits = jnp.stack([c[:cap] for c in rep[1:]], axis=1)
-        inv_rows = (keys_s >> spec.top_lane_bits) != 0
+        new_keys, _ = unpack_flag_key(
+            [c[:cap] for c in rep[:n_keys]], spec
+        )
+        new_digits = jnp.stack([c[:cap] for c in rep[n_keys:]], axis=1)
+        inv_rows = (key_cols[0] >> spec.top_lane_bits) != 0
         n_new = jnp.sum(flag & ~inv_rows, dtype=jnp.int32)
         overflow = state.overflowed | (n_new > cap)
         n_kept = jnp.minimum(n_new, cap)

@@ -46,14 +46,27 @@ LANES = 128
 MAX_KEY = 0xFFFFFFFF  # python int: jnp scalars would be captured consts in the kernel
 
 
-def merge_path_partition(a_keys: jax.Array, b_keys: jax.Array,
+def _cols_leq(a_cols, b_cols) -> jax.Array:
+    """Lexicographic a <= b over msb-first column tuples."""
+    leq = jnp.ones(a_cols[0].shape, jnp.bool_)
+    lt = jnp.zeros(a_cols[0].shape, jnp.bool_)
+    eq = jnp.ones(a_cols[0].shape, jnp.bool_)
+    for a, b in zip(a_cols, b_cols):
+        lt = lt | (eq & (a < b))
+        eq = eq & (a == b)
+    del leq
+    return lt | eq
+
+
+def merge_path_partition(a_keys: tuple, b_keys: tuple,
                          tile: int) -> tuple[jax.Array, jax.Array]:
     """Per-tile split points (a_starts, b_starts), each int32 [T+1].
 
+    a_keys/b_keys: msb-first tuples of uint32 key columns.
     a_starts[t] = number of A elements among the first t*tile merged
     elements, under the stable order (A wins ties)."""
-    m = a_keys.shape[0]
-    n = b_keys.shape[0]
+    m = a_keys[0].shape[0]
+    n = b_keys[0].shape[0]
     total = m + n
     t_tiles = pl.cdiv(total, tile)
     diag = jnp.minimum(
@@ -71,9 +84,11 @@ def merge_path_partition(a_keys: jax.Array, b_keys: jax.Array,
         lo, hi = lohi
         active = lo < hi
         mid = (lo + hi) >> 1
-        a_val = a_keys[jnp.clip(mid, 0, m - 1)]
-        b_val = b_keys[jnp.clip(diag - 1 - mid, 0, n - 1)]
-        take_a = a_val <= b_val  # stable: equal keys -> A first
+        a_val = tuple(k[jnp.clip(mid, 0, m - 1)] for k in a_keys)
+        b_val = tuple(
+            k[jnp.clip(diag - 1 - mid, 0, n - 1)] for k in b_keys
+        )
+        take_a = _cols_leq(a_val, b_val)  # stable: equal keys -> A first
         lo = jnp.where(active & take_a, mid + 1, lo)
         hi = jnp.where(active & ~take_a, mid, hi)
         return lo, hi
@@ -82,9 +97,11 @@ def merge_path_partition(a_keys: jax.Array, b_keys: jax.Array,
     return lo, diag - lo
 
 
-def _bitonic_merge_2d(cols2d: list[jax.Array], rows: int) -> list[jax.Array]:
+def _bitonic_merge_2d(cols2d: list[jax.Array], rows: int,
+                      n_order: int = 2) -> list[jax.Array]:
     """Bitonic merger on a row-major (rows, 128) bitonic sequence.
-    cols2d[0:2] = (key uint32, idx int32) define the total order."""
+    cols2d[0:n_order] (msb-first key columns, then the idx tiebreak)
+    define the total order; the rest are payload."""
     row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
     lane_id = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     s = (rows * LANES) // 2
@@ -101,9 +118,11 @@ def _bitonic_merge_2d(cols2d: list[jax.Array], rows: int) -> list[jax.Array]:
         partner = [
             jnp.where(is_lower, up, down) for up, down in zip(ups, downs)
         ]
-        k_s, i_s = cols2d[0], cols2d[1]
-        k_p, i_p = partner[0], partner[1]
-        self_less = (k_s < k_p) | ((k_s == k_p) & (i_s < i_p))
+        self_less = jnp.zeros_like(is_lower)
+        eq = jnp.ones_like(is_lower)
+        for c_s, c_p in zip(cols2d[:n_order], partner[:n_order]):
+            self_less = self_less | (eq & (c_s < c_p))
+            eq = eq & (c_s == c_p)
         # pure i1 logic: Mosaic rejects jnp.where on boolean operands
         # ("unsupported target bitwidth for truncation")
         keep_self = (is_lower & self_less) | ~(is_lower | self_less)
@@ -114,14 +133,16 @@ def _bitonic_merge_2d(cols2d: list[jax.Array], rows: int) -> list[jax.Array]:
     return cols2d
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "interpret", "n_keys"))
 def merge_sorted(a_cols: tuple, b_cols: tuple, tile: int = DEFAULT_TILE,
-                 interpret: bool = False):
+                 interpret: bool = False, n_keys: int = 1):
     """Merge two sorted runs given as tuples of equal-length 1-D columns.
 
-    a_cols[0]/b_cols[0]: uint32 sort keys, ascending, value < 0xFFFFFFFF.
-    Returns merged columns of length M+N (must be a multiple of `tile`;
-    tile must be a power of two >= 1024).
+    The first `n_keys` columns are msb-first uint32 sort keys (ascending,
+    msb column < 0xFFFFFFFF); remaining columns are payload.  Returns merged
+    columns of length M+N (must be a multiple of `tile`; tile must be a
+    power of two >= 1024).
     """
     if tile < ALIGN or tile & (tile - 1):
         raise ValueError("tile must be a power of two >= 1024")
@@ -138,7 +159,9 @@ def merge_sorted(a_cols: tuple, b_cols: tuple, tile: int = DEFAULT_TILE,
     pad_rows = half_rows - win_rows
     seq_rows = 2 * half_rows  # 4*tile elements
 
-    a_starts, b_starts = merge_path_partition(a_cols[0], b_cols[0], tile)
+    a_starts, b_starts = merge_path_partition(
+        tuple(a_cols[:n_keys]), tuple(b_cols[:n_keys]), tile
+    )
     a_al = (a_starts[:-1] // ALIGN) * ALIGN
     b_al = (b_starts[:-1] // ALIGN) * ALIGN
     da = a_starts[:-1] - a_al
@@ -153,7 +176,7 @@ def merge_sorted(a_cols: tuple, b_cols: tuple, tile: int = DEFAULT_TILE,
 
     # A side: padded so any aligned window [a_al, a_al+win) is in bounds
     m_pad = ((m + win + LANES - 1) // LANES) * LANES
-    a_pad = [pad_to(c, m_pad, i == 0) for i, c in enumerate(a_cols)]
+    a_pad = [pad_to(c, m_pad, i < n_keys) for i, c in enumerate(a_cols)]
     # B side: globally reversed.  Window for tile t loads reversed rows
     # starting at q0 = n_front + n - b_al (ALIGN-aligned since
     # n_front + n == 0 and b_al == 0 mod ALIGN); with a front fill of
@@ -222,13 +245,18 @@ def merge_sorted(a_cols: tuple, b_cols: tuple, tile: int = DEFAULT_TILE,
             jax.lax.broadcasted_iota(jnp.int32, (win_rows, LANES), 0) * LANES
             + jax.lax.broadcasted_iota(jnp.int32, (win_rows, LANES), 1)
         )
-        # A window (ascending): mask below-extent elements to (0, -1)
+        # A window (ascending): mask below-extent elements to (0.., -1)
         a_masked = win_pos < da_t
-        a_key = jnp.where(a_masked, 0, scratch[0][:])
+        a_keys = [
+            jnp.where(a_masked, 0, scratch[2 * i][:]) for i in range(n_keys)
+        ]
         a_idx = jnp.where(a_masked, -1, (ar * LANES) + win_pos)
         # B window (descending): below-extent elements sit at the END
         b_masked = win_pos >= (win - db_t)
-        b_key = jnp.where(b_masked, 0, scratch[1][:])
+        b_keys = [
+            jnp.where(b_masked, 0, scratch[2 * i + 1][:])
+            for i in range(n_keys)
+        ]
         q = br * LANES + win_pos  # position in the reversed array
         b_idx = jnp.where(
             b_masked, -1, m + ((n_front + win) + n - 1 - q)
@@ -241,20 +269,22 @@ def merge_sorted(a_cols: tuple, b_cols: tuple, tile: int = DEFAULT_TILE,
             return jnp.concatenate([a2d, pad2d, pad2d, b2d], axis=0)
 
         cols2d = [
-            seq(a_key, maxpad_key.astype(a_key.dtype), b_key),
-            seq(a_idx, maxpad_idx, b_idx),
+            seq(ak, maxpad_key.astype(ak.dtype), bk)
+            for ak, bk in zip(a_keys, b_keys)
         ]
-        for i in range(1, n_cols):
+        cols2d.append(seq(a_idx, maxpad_idx, b_idx))
+        for i in range(n_keys, n_cols):
             pa = scratch[2 * i][:]
             pb = scratch[2 * i + 1][:]
             cols2d.append(seq(pa, maxpad_idx.astype(pa.dtype), pb))
 
-        merged = _bitonic_merge_2d(cols2d, seq_rows)
+        merged = _bitonic_merge_2d(cols2d, seq_rows, n_order=n_keys + 1)
 
         shifted = off_ref[t] != 0
         tr = tile // LANES
         for i in range(n_cols):
-            src = merged[0] if i == 0 else merged[2 + i - 1]
+            # merged layout: keys[0:n_keys], idx, payloads
+            src = merged[i] if i < n_keys else merged[i + 1]
             lo_slice = jax.lax.slice_in_dim(src, 0, tr, axis=0)
             hi_slice = jax.lax.slice_in_dim(
                 src, ALIGN // LANES, ALIGN // LANES + tr, axis=0
