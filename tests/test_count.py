@@ -224,3 +224,47 @@ def test_merge_stacked_pallas_two_lane_matches_xla():
     np.testing.assert_array_equal(
         np.asarray(pal.digits[:n]), np.asarray(xla.digits[:n])
     )
+
+
+@pytest.mark.parametrize("k", [16, 63, 127])
+def test_merge_stacked_pallas_wide_keys_matches_xla(k):
+    """Wide multi-lane keys (incl. the separate-flag k=16 case) through the
+    Pallas merge path == XLA path."""
+    import jax.numpy as jnp
+
+    spec = KmerSpec(k)
+    store = CountStore(spec, capacity=2048)
+    rng = np.random.default_rng(k)
+    r, p = 2, 1024
+    state = store.init_state()
+    lanes = spec.lanes
+
+    ukeys = np.zeros((r, p, lanes), np.uint32)
+    ucounts = np.zeros((r, p), np.int32)
+    uvalid = np.zeros((r, p), bool)
+    for i in range(r):
+        keys = rng.integers(0, 2**32, size=(800, lanes), dtype=np.uint32)
+        keys[:, -1] &= spec.top_lane_mask
+        keys = np.unique(keys, axis=0)
+        order = np.lexsort(tuple(keys[:, j] for j in range(lanes)))
+        keys = keys[order]
+        n = len(keys)
+        ukeys[i, :n] = keys
+        ucounts[i, :n] = rng.integers(1, 50, size=n)
+        uvalid[i, :n] = True
+
+    xla = store.merge_stacked(
+        state, jnp.asarray(ukeys), jnp.asarray(ucounts), jnp.asarray(uvalid)
+    )
+    pal = store._merge_stacked_pallas(
+        state, jnp.asarray(ukeys), jnp.asarray(ucounts),
+        jnp.asarray(uvalid), interpret=True, tile=1024,
+    )
+    n = int(xla.n)
+    assert int(pal.n) == n
+    np.testing.assert_array_equal(
+        np.asarray(pal.keys[:n]), np.asarray(xla.keys[:n])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pal.digits[:n]), np.asarray(xla.digits[:n])
+    )

@@ -67,15 +67,14 @@ class CountStore:
         )
 
     def _pallas_mergeable(self, r: int, p: int) -> bool:
-        """The Pallas merge fast path applies when keys pack into at most
-        two uint32 columns with the validity flag below bit 31 of the msb
-        column (k <= 31, excluding k=16) and sizes tile evenly, on TPU."""
+        """The Pallas merge fast path applies for any k whose packed msb
+        column stays below 2^31 (top_lane_bits <= 30, i.e. k % 16 != 0 —
+        otherwise pack_flag_key emits a separate 0/1 flag column, which
+        also qualifies) when sizes tile evenly, on a real TPU."""
         from tsxcount_tpu.ops.pallas_merge import DEFAULT_TILE
 
         return (
-            self.spec.lanes <= 2
-            and self.spec.top_lane_bits <= 30
-            and self.capacity % DEFAULT_TILE == 0
+            self.capacity % DEFAULT_TILE == 0
             and p % DEFAULT_TILE == 0
             and jax.default_backend() == "tpu"
         )
@@ -93,7 +92,7 @@ class CountStore:
         over R batches — the streaming cost is O(P log R + capacity/R) per
         batch instead of O(capacity).
 
-        On TPU with k <= 31, the big lax.sort is replaced by the Pallas
+        On TPU, the big lax.sort is replaced by the Pallas
         merge-path kernel (all inputs are pre-sorted runs; measured 4.7x
         faster than re-sorting, tools/microbench.py / ops/pallas_merge.py).
         """
@@ -146,7 +145,7 @@ class CountStore:
                               ucounts: jax.Array, uvalid: jax.Array,
                               interpret: bool = False,
                               tile: int | None = None) -> StoreState:
-        """merge_stacked via the Pallas merge-path kernel (k <= 31).
+        """merge_stacked via the Pallas merge-path kernel (any k).
 
         All inputs are already sorted runs: the store's used prefix and each
         batch histogram's valid prefix.  Invalid/unused rows are re-masked
@@ -161,14 +160,16 @@ class CountStore:
         cap = self.capacity
         r, p, lanes = ukeys.shape
         spec = self.spec
-        n_keys = spec.lanes  # packed key columns, msb-first
-        # invalid rows collapse to the constant (flag<<top | 0..): msb op
-        # gets the flag bit, lower ops zero
-        inv_consts = [jnp.uint32(1 << spec.top_lane_bits)] + [
-            jnp.uint32(0)
-        ] * (n_keys - 1)
-
         store_ops = pack_flag_key(state.keys, ~state.used, spec)
+        n_keys = len(store_ops)  # packed key columns, msb-first
+        # invalid rows collapse to the flag-only constant: msb op carries
+        # the flag (in-lane bit, or a standalone 0/1 column when
+        # top_lane_bits == 32), lower ops zero
+        msb_const = (
+            jnp.uint32(1 << spec.top_lane_bits)
+            if spec.top_lane_bits < 32 else jnp.uint32(1)
+        )
+        inv_consts = [msb_const] + [jnp.uint32(0)] * (n_keys - 1)
         store_run = tuple(store_ops) + (
             state.digits[:, 0], state.digits[:, 1], state.digits[:, 2],
         )
@@ -205,7 +206,7 @@ class CountStore:
             [c[:cap] for c in rep[:n_keys]], spec
         )
         new_digits = jnp.stack([c[:cap] for c in rep[n_keys:]], axis=1)
-        inv_rows = (key_cols[0] >> spec.top_lane_bits) != 0
+        inv_rows = _invalid_bits(key_cols[0], key_cols, spec)
         n_new = jnp.sum(flag & ~inv_rows, dtype=jnp.int32)
         overflow = state.overflowed | (n_new > cap)
         n_kept = jnp.minimum(n_new, cap)
