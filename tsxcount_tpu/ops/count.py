@@ -97,16 +97,6 @@ def _boundary_flags(ops_sorted: Sequence[jax.Array]) -> jax.Array:
     return jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
 
 
-def _boundary_positions(flag: jax.Array) -> jax.Array:
-    """int32 [P]: positions of boundary rows, densely packed ascending;
-    tail filled with P.  One int32 sort, no cumsum, no scatter."""
-    p = flag.shape[0]
-    arange = jnp.arange(p, dtype=jnp.int32)
-    key = jnp.where(flag, arange, p)
-    (pos,) = jax.lax.sort((key,), num_keys=1)
-    return pos
-
-
 def compact_rows(flag: jax.Array, columns: Sequence[jax.Array]
                  ) -> tuple[jax.Array, list[jax.Array]]:
     """Move boundary rows to the front, in order, carrying `columns` along.
@@ -264,29 +254,6 @@ def int32_to_digits(c: jax.Array) -> jax.Array:
     d1 = (c >> COUNT_DIGIT_BITS) & COUNT_DIGIT_MASK
     d2 = jnp.zeros_like(c)
     return jnp.stack([d0, d1, d2], axis=-1)
-
-
-# --- legacy helpers kept for the quotient table & tests ---------------------
-
-def sort_by_keys(invalid: jax.Array, keys: jax.Array, *payload: jax.Array):
-    """Lexicographic sort by (invalid, key lanes msb..lsb); payloads ride
-    along.  Returns (invalid_sorted, keys_sorted, *payload_sorted)."""
-    lanes = keys.shape[1]
-    ops = (invalid.astype(jnp.uint32),) + tuple(
-        keys[:, j] for j in reversed(range(lanes))
-    ) + tuple(payload)
-    out = jax.lax.sort(ops, num_keys=1 + lanes)
-    inv_s = out[0]
-    keys_s = jnp.stack(tuple(reversed(out[1 : 1 + lanes])), axis=1)
-    return (inv_s, keys_s) + tuple(out[1 + lanes :])
-
-
-def segment_ids(inv_s: jax.Array, keys_s: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Segment ids for a sorted key stream; returns (seg, new_flag int32)."""
-    neq = jnp.any(keys_s[1:] != keys_s[:-1], axis=1) | (inv_s[1:] != inv_s[:-1])
-    flag = jnp.concatenate([jnp.ones((1,), jnp.int32), neq.astype(jnp.int32)])
-    seg = jnp.cumsum(flag) - 1
-    return seg, flag
 
 
 assert COUNT_DIGITS == 3, "digit helpers assume 3 lanes"
