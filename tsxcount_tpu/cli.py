@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="table shards across devices (multi-chip)")
     c.add_argument("--batch-words", type=int, default=1 << 20,
                    help="uint32 words per device batch (16 bases/word)")
+    c.add_argument("--merge-every", type=int, default=4,
+                   help="batches folded per store merge (sort backend)")
     c.add_argument("--n-policy", choices=("drop", "random"), default="drop",
                    help="N handling: drop windows (default) or random "
                         "substitution (reference bug-compat)")
@@ -103,6 +105,7 @@ def cmd_count(args: argparse.Namespace) -> int:
         hash_seed=DEFAULT_SEED if args.hash_seed is None else args.hash_seed,
         identity_hash=args.identity_hash,
         canonical=args.canonical,
+        merge_every=args.merge_every,
     )
     if args.shards > 1:
         from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
