@@ -82,6 +82,14 @@ def main() -> int:
         jax.config.update("jax_platforms", args.platform)
     import jax
 
+    # persistent compilation cache: repeat invocations (e.g. the driver's
+    # end-of-round run) skip the multi-minute remote compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from tsxcount_tpu.core.counter import KmerCounter
 
     bench_fastq = bench_fastq_path(args.reads)
