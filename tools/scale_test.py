@@ -59,13 +59,18 @@ def main() -> int:
         st = c.state
 
         def f(keys, digits, n):
+            # only the used prefix [0, n) is defined; the tail is garbage
+            live = (
+                jnp.arange(keys.shape[0], dtype=jnp.int32) < n
+            )[:, None].astype(jnp.uint32)
             w = (
                 jnp.arange(keys.shape[0], dtype=jnp.uint32)
                 * jnp.uint32(2654435761)
             ) + 1
-            ck = jnp.sum(keys * w[:, None], dtype=jnp.uint32)
+            ck = jnp.sum(keys * w[:, None] * live, dtype=jnp.uint32)
             cd = jnp.sum(
-                digits.astype(jnp.uint32) * w[:, None], dtype=jnp.uint32
+                digits.astype(jnp.uint32) * w[:, None] * live,
+                dtype=jnp.uint32,
             )
             return ck ^ (cd << 1), n
 
