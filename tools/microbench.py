@@ -81,6 +81,15 @@ def main() -> int:
     results["gather_mono"] = timeit(
         jax.jit(lambda v, i: v[i]), vals, idx_mono
     )
+    vals2d = jnp.asarray(
+        rng.integers(0, 2**31, size=(n // 8, 8), dtype=np.int32)
+    )
+    idx_rows = jnp.asarray(
+        np.sort(rng.integers(0, n // 8, size=n // 8, dtype=np.int32))
+    )
+    results["gather_rows8"] = timeit(
+        jax.jit(lambda v, i: v[i]), vals2d, idx_rows
+    )
     host_buf = np.asarray(rng.integers(0, 2**32, size=n // 8, dtype=np.uint32))
     results["h2d_8MB"] = timeit(lambda b: jnp.asarray(b) + 1, host_buf)
     results["cumsum"] = timeit(
