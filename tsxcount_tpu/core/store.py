@@ -199,9 +199,14 @@ class CountStore:
             neq = neq | (col[1:] != col[:-1])
         flag = jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
         dsum = _segmented_sum_rev(d, flag, r + 1)
-        _, rep = compact_rows(
-            flag, key_cols + [dsum[:, 0], dsum[:, 1], dsum[:, 2]]
-        )
+        # Pallas stream compaction (1.5x the XLA payload-sort compaction)
+        from tsxcount_tpu.ops.pallas_compact import compact_flagged
+
+        rep = list(compact_flagged(
+            flag.astype(jnp.int32),
+            tuple(key_cols) + (dsum[:, 0], dsum[:, 1], dsum[:, 2]),
+            interpret=interpret,
+        ))
         new_keys, _ = unpack_flag_key(
             [c[:cap] for c in rep[:n_keys]], spec
         )
