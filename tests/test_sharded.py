@@ -83,3 +83,20 @@ def test_sharded_table_backend_matches_naive():
     assert counter.to_dict() == want
     some = list(want)[:30] + ["A" * 9]
     assert counter.get_counts(some) == [want.get(km, 0) for km in some]
+
+
+def test_sharded_canonical():
+    from tests.test_counter import _revcomp
+    import collections
+
+    rng = np.random.default_rng(55)
+    reads = rand_reads(rng, 30, 15, 80)
+    counter = ShardedKmerCounter(
+        k=9, n_shards=4, l=15, batch_words=32, canonical=True
+    )
+    counter.add_reads(reads)
+    counter.finish()
+    want = collections.Counter()
+    for kmer_str, c in naive_kmers(reads, 9).items():
+        want[min(kmer_str, _revcomp(kmer_str))] += c
+    assert counter.to_dict() == dict(want)
