@@ -41,6 +41,47 @@ def test_count_unique_exact(lanes, k):
     assert all(ints[i] < ints[i + 1] for i in range(n - 1))
 
 
+@pytest.mark.parametrize("lanes,k", [(1, 14), (2, 31), (4, 63)])
+def test_count_unique_pallas_path_matches_xla(lanes, k):
+    """The TPU fast path (Pallas boundary compaction) must agree with the
+    XLA position-sort path, including junk-tail masking semantics."""
+    spec = KmerSpec(k)
+    rng = np.random.default_rng(100 + lanes)
+    p = 4096
+    kmers = _random_kmer_batch(rng, p, spec.lanes, spec.top_lane_mask,
+                               vocab=300)
+    valid = rng.random(p) < 0.85
+    kj, vj = jnp.asarray(kmers), jnp.asarray(valid)
+    ref = count_unique(kj, vj, spec=spec, force_pallas=False)
+    got = count_unique(kj, vj, spec=spec, force_pallas=True)
+    n = int(ref.n_unique)
+    assert int(got.n_unique) == n
+    np.testing.assert_array_equal(
+        np.asarray(got.keys)[:n], np.asarray(ref.keys)[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.counts)[:n], np.asarray(ref.counts)[:n]
+    )
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+
+
+def test_count_unique_pallas_all_and_none_valid():
+    spec = KmerSpec(14)
+    p = 4096
+    rng = np.random.default_rng(7)
+    kmers = _random_kmer_batch(rng, p, 1, spec.top_lane_mask, vocab=9)
+    for valid in (np.ones(p, bool), np.zeros(p, bool)):
+        ref = count_unique(jnp.asarray(kmers), jnp.asarray(valid), spec=spec,
+                           force_pallas=False)
+        got = count_unique(jnp.asarray(kmers), jnp.asarray(valid), spec=spec,
+                           force_pallas=True)
+        n = int(ref.n_unique)
+        assert int(got.n_unique) == n
+        np.testing.assert_array_equal(
+            np.asarray(got.counts)[:n], np.asarray(ref.counts)[:n]
+        )
+
+
 def test_count_unique_all_invalid():
     spec = KmerSpec(14)
     kmers = jnp.zeros((64, 1), jnp.uint32)

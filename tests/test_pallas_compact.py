@@ -9,6 +9,7 @@ from tsxcount_tpu.ops.pallas_compact import compact_flagged
 TILE = 1024
 
 
+@pytest.mark.parametrize("route", ["butterfly", "bitonic"])
 @pytest.mark.parametrize("total,density,seed", [
     (1024, 0.5, 0),
     (4096, 0.1, 1),
@@ -16,14 +17,14 @@ TILE = 1024
     (8192, 0.0, 3),
     (8192, 1.0, 4),
 ])
-def test_compact_matches_numpy(total, density, seed):
+def test_compact_matches_numpy(total, density, seed, route):
     rng = np.random.default_rng(seed)
     flag = (rng.random(total) < density).astype(np.int32)
     a = rng.integers(0, 2**31, size=total, dtype=np.int32)
     b = rng.integers(0, 2**31, size=total, dtype=np.uint32)
     out_a, out_b = compact_flagged(
         jnp.asarray(flag), (jnp.asarray(a), jnp.asarray(b)),
-        tile=TILE, interpret=True,
+        tile=TILE, interpret=True, route=route,
     )
     n = int(flag.sum())
     np.testing.assert_array_equal(np.asarray(out_a)[:n], a[flag == 1])

@@ -28,7 +28,7 @@ def run_config(out_dir: Path, k: int, backend: str, reads: int,
            "--backend", backend, "--reads", str(reads), "--l", str(l)]
     if platform:
         cmd += ["--platform", platform]
-    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     if proc.returncode != 0:
         print(f"FAIL {name}: {proc.stderr[-500:]}", file=sys.stderr)
         return None

@@ -114,10 +114,17 @@ def compact_rows(flag: jax.Array, columns: Sequence[jax.Array]
     return out[0], list(out[1:])
 
 
+def _pallas_compactable(p: int) -> bool:
+    from tsxcount_tpu.ops.pallas_compact import DEFAULT_TILE
+
+    return p % DEFAULT_TILE == 0 and jax.default_backend() == "tpu"
+
+
 def count_unique(kmers: jax.Array, valid: jax.Array,
                  weights: jax.Array | None = None,
                  spec: KmerSpec | None = None,
-                 max_multiplicity: int | None = None) -> UniqueCounts:
+                 max_multiplicity: int | None = None,
+                 force_pallas: bool | None = None) -> UniqueCounts:
     """Exact histogram of the valid rows of `kmers`.
 
     weights: optional int32 per-row multiplicities (default 1).  With
@@ -129,8 +136,33 @@ def count_unique(kmers: jax.Array, valid: jax.Array,
     if spec is None:
         spec = _spec_from_lanes(lanes)
     ops = pack_flag_key(kmers, ~valid, spec)
+    use_pallas = (
+        _pallas_compactable(p) if force_pallas is None else force_pallas
+    )
 
-    if weights is None:
+    if weights is None and use_pallas:
+        # TPU fast path: the boundary-row compaction (the second full
+        # lax.sort of the XLA path below) becomes one linear Pallas pass
+        from tsxcount_tpu.ops.pallas_compact import compact_flagged
+
+        ops_sorted = jax.lax.sort(ops, num_keys=len(ops))
+        flag = _boundary_flags(ops_sorted)
+        arange = jnp.arange(p, dtype=jnp.int32)
+        rep = compact_flagged(
+            flag.astype(jnp.int32),
+            tuple(ops_sorted) + (arange,),
+            interpret=jax.default_backend() != "tpu",
+        )
+        rep = [c[:p] for c in rep]
+        n_flags = jnp.sum(flag, dtype=jnp.int32)
+        # junk tail -> clamp boundary positions to p so diffs vanish there
+        pos = jnp.where(arange < n_flags, rep[-1], p)
+        pos_next = jnp.concatenate([pos[1:], jnp.full((1,), p, jnp.int32)])
+        counts = pos_next - pos
+        ukeys, uinvalid = unpack_flag_key(rep[:-1], spec)
+        inv_sorted0 = _invalid_bits(ops_sorted[0], ops_sorted, spec)
+        n_unique = jnp.sum(flag & ~inv_sorted0, dtype=jnp.int32)
+    elif weights is None:
         ops_sorted = jax.lax.sort(ops, num_keys=len(ops))
         flag = _boundary_flags(ops_sorted)
         pos, rep = compact_rows(flag, ops_sorted)
