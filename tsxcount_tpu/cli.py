@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="uint32 words per device batch (16 bases/word)")
     c.add_argument("--merge-every", type=int, default=4,
                    help="batches folded per store merge (sort backend)")
+    c.add_argument("--lsm", action="store_true",
+                   help="log-structured multi-level store (sort backend): "
+                        "amortizes merges for streams whose table is much "
+                        "larger than one batch; exact counts preserved")
+    c.add_argument("--lsm-growth", type=int, default=8,
+                   help="LSM level size ratio (default 8)")
     c.add_argument("--n-policy", choices=("drop", "random"), default="drop",
                    help="N handling: drop windows (default) or random "
                         "substitution (reference bug-compat)")
@@ -106,6 +112,8 @@ def cmd_count(args: argparse.Namespace) -> int:
         identity_hash=args.identity_hash,
         canonical=args.canonical,
         merge_every=args.merge_every,
+        lsm=args.lsm,
+        lsm_growth=args.lsm_growth,
     )
     if args.shards > 1:
         from tsxcount_tpu.parallel.sharded import ShardedKmerCounter

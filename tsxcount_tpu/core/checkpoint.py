@@ -31,11 +31,14 @@ def save_counter(counter, path: str | Path) -> None:
         "identity_hash": counter.hash_fn.identity,
         "stats": dataclasses.asdict(counter.packer.stats),
         "batches_processed": counter.batches_processed,
+        "lsm": getattr(counter, "lsm", False),
     }
     counter._flush_pending()
+    counter._collapse_if_lsm()  # LSM: everything lands in the top level
+    state = counter.state[-1] if meta["lsm"] else counter.state
     arrays = {
         f"state_{name}": np.asarray(jax.device_get(val))
-        for name, val in counter.state._asdict().items()
+        for name, val in state._asdict().items()
     }
     arrays["hash_matrix"] = counter.hash_fn.matrix
     arrays["hash_inverse"] = counter.hash_fn.inverse
@@ -55,6 +58,7 @@ def load_counter(path: str | Path, batch_words: int = 1 << 16):
             k=meta["k"], l=meta["l"], s=meta["s"], backend=meta["backend"],
             batch_words=batch_words, n_policy=meta["n_policy"],
             identity_hash=meta["identity_hash"],
+            lsm=meta.get("lsm", False),
         )
         # restore the exact hash matrix (layout-defining for table backend)
         counter.hash_fn.matrix = data["hash_matrix"]
@@ -67,13 +71,18 @@ def load_counter(path: str | Path, batch_words: int = 1 << 16):
         counter.hash_fn._inv_t = jnp.asarray(
             counter.hash_fn.inverse.T, dtype=jnp.int8
         )
-        state_cls = type(counter.state)
-        counter.state = state_cls(
+        ref_state = counter.state[-1] if counter.lsm else counter.state
+        state_cls = type(ref_state)
+        loaded = state_cls(
             **{
                 name: jnp.asarray(data[f"state_{name}"])
-                for name in counter.state._fields
+                for name in ref_state._fields
             }
         )
+        if counter.lsm:
+            counter.state = counter.state[:-1] + [loaded]
+        else:
+            counter.state = loaded
         counter.packer.stats = PackStats(**meta["stats"])
         counter.batches_processed = meta["batches_processed"]
     return counter

@@ -97,6 +97,8 @@ class KmerCounter:
         seed: int = 0,
         merge_every: int = 4,
         canonical: bool = False,
+        lsm: bool = False,
+        lsm_growth: int = 8,
     ):
         if backend in MODE_TO_BACKEND:
             backend = MODE_TO_BACKEND[backend]
@@ -112,8 +114,22 @@ class KmerCounter:
         self.seed = seed
         self.canonical = canonical
         self.hash_fn = GF2Hash(self.spec, seed=hash_seed, identity=identity_hash)
+        self.lsm = False
         if backend == "sort":
-            self.store = CountStore(self.spec, capacity=1 << l)
+            capacity = 1 << l
+            flush = max(1, merge_every) * self.batch.positions
+            if lsm and capacity >= flush * lsm_growth * lsm_growth:
+                from tsxcount_tpu.core.lsm import LSMStore
+
+                self.store = LSMStore(
+                    self.spec, capacity,
+                    base_capacity=flush * lsm_growth, growth=lsm_growth,
+                )
+                self.lsm = True
+            else:
+                # tables not much larger than one flush gain nothing from
+                # levels; fall back to the flat store
+                self.store = CountStore(self.spec, capacity=capacity)
             self.state = self.store.init_state()
         else:
             self.table = QuotientTable(
@@ -137,10 +153,16 @@ class KmerCounter:
                 return uc.keys, uc.counts, uc.valid
 
             self._dedupe = jax.jit(dedupe)
-            self._merge = jax.jit(
-                lambda state, k, c, v: self.store.merge_stacked(state, k, c, v),
-                donate_argnums=(0,),
-            )
+            if self.lsm:
+                # LSMStore.merge_stacked orchestrates its own jitted
+                # level-merges around a host-side cascade counter
+                self._merge = self.store.merge_stacked
+            else:
+                self._merge = jax.jit(
+                    lambda state, k, c, v: self.store.merge_stacked(
+                        state, k, c, v),
+                    donate_argnums=(0,),
+                )
             self._pending_uc: list = []
         else:
             self._step = jax.jit(self._make_step(), donate_argnums=(0,))
@@ -222,9 +244,14 @@ class KmerCounter:
         jax.block_until_ready(self.state)
         self._check_capacity()
 
+    def _collapse_if_lsm(self) -> None:
+        if self.backend == "sort" and self.lsm:
+            self.state = self.store.collapse(self.state)
+
     def _check_capacity(self) -> None:
         if self.backend == "sort":
-            if bool(jax.device_get(self.state.overflowed)):
+            states = self.state if self.lsm else [self.state]
+            if any(bool(jax.device_get(s.overflowed)) for s in states):
                 raise TableFull(
                     f"distinct kmers exceeded capacity 2^{self.l}; rerun with "
                     f"a larger --l (reference exits 42 here)"
@@ -268,7 +295,9 @@ class KmerCounter:
     @property
     def distinct(self) -> int:
         self._flush_pending()
-        return int(jax.device_get(self.state.n))
+        self._collapse_if_lsm()
+        state = self.state[-1] if self.lsm else self.state
+        return int(jax.device_get(state.n))
 
     @property
     def total_kmers(self) -> int:
@@ -309,6 +338,7 @@ class KmerCounter:
         check-at-scale requires (SURVEY.md §5 checkpoint note).
         """
         self._flush_pending()
+        self._collapse_if_lsm()
         if self.backend == "sort":
             keys, counts, n = self.store.to_host(self.state)
         else:

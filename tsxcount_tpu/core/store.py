@@ -141,6 +141,17 @@ class CountStore:
             overflowed=overflow,
         )
 
+    def _inv_consts(self, n_keys: int) -> list:
+        """Per-key-column constants an invalid/unused row is re-masked to:
+        msb op carries the flag (in-lane bit, or a standalone 0/1 column
+        when top_lane_bits == 32), lower ops zero."""
+        spec = self.spec
+        msb_const = (
+            jnp.uint32(1 << spec.top_lane_bits)
+            if spec.top_lane_bits < 32 else jnp.uint32(1)
+        )
+        return [msb_const] + [jnp.uint32(0)] * (n_keys - 1)
+
     def _merge_stacked_pallas(self, state: StoreState, ukeys: jax.Array,
                               ucounts: jax.Array, uvalid: jax.Array,
                               interpret: bool = False,
@@ -153,23 +164,11 @@ class CountStore:
         then merged pairwise; flags + first-row-anchored segment sums +
         one compaction sort finish exactly like the XLA path.
         """
-        from tsxcount_tpu.ops.count import _segmented_sum_rev
-        from tsxcount_tpu.ops.pallas_merge import DEFAULT_TILE, merge_sorted
-
-        tile = tile or DEFAULT_TILE
-        cap = self.capacity
         r, p, lanes = ukeys.shape
         spec = self.spec
         store_ops = pack_flag_key(state.keys, ~state.used, spec)
         n_keys = len(store_ops)  # packed key columns, msb-first
-        # invalid rows collapse to the flag-only constant: msb op carries
-        # the flag (in-lane bit, or a standalone 0/1 column when
-        # top_lane_bits == 32), lower ops zero
-        msb_const = (
-            jnp.uint32(1 << spec.top_lane_bits)
-            if spec.top_lane_bits < 32 else jnp.uint32(1)
-        )
-        inv_consts = [msb_const] + [jnp.uint32(0)] * (n_keys - 1)
+        inv_consts = self._inv_consts(n_keys)
         store_run = tuple(store_ops) + (
             state.digits[:, 0], state.digits[:, 1], state.digits[:, 2],
         )
@@ -184,7 +183,23 @@ class CountStore:
                 jnp.where(uvalid[i], ucounts[i].astype(jnp.int32), 0)
             )
             runs.append(tuple(ops) + (dg[:, 0], dg[:, 1], dg[:, 2]))
+        return self._reduce_runs_pallas(
+            store_run, runs, n_keys, state.overflowed, fanin=r + 1,
+            interpret=interpret, tile=tile,
+        )
 
+    def _reduce_runs_pallas(self, store_run: tuple, runs: list,
+                            n_keys: int, prev_overflow: jax.Array,
+                            fanin: int, interpret: bool = False,
+                            tile: int | None = None) -> StoreState:
+        """Merge pre-masked sorted runs (key ops + 3 digit columns each)
+        into the store run, dedupe, and rebuild a StoreState."""
+        from tsxcount_tpu.ops.count import _segmented_sum_rev
+        from tsxcount_tpu.ops.pallas_merge import DEFAULT_TILE, merge_sorted
+
+        tile = tile or DEFAULT_TILE
+        cap = self.capacity
+        spec = self.spec
         acc = runs[0]
         for nxt in runs[1:]:
             acc = merge_sorted(acc, nxt, tile=tile, interpret=interpret,
@@ -198,7 +213,7 @@ class CountStore:
         for col in key_cols[1:]:
             neq = neq | (col[1:] != col[:-1])
         flag = jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
-        dsum = _segmented_sum_rev(d, flag, r + 1)
+        dsum = _segmented_sum_rev(d, flag, fanin)
         # Pallas stream compaction (1.5x the XLA payload-sort compaction)
         from tsxcount_tpu.ops.pallas_compact import compact_flagged
 
@@ -213,7 +228,70 @@ class CountStore:
         new_digits = jnp.stack([c[:cap] for c in rep[n_keys:]], axis=1)
         inv_rows = _invalid_bits(key_cols[0], key_cols, spec)
         n_new = jnp.sum(flag & ~inv_rows, dtype=jnp.int32)
-        overflow = state.overflowed | (n_new > cap)
+        overflow = prev_overflow | (n_new > cap)
+        n_kept = jnp.minimum(n_new, cap)
+        return StoreState(
+            keys=new_keys,
+            digits=renorm_digits(new_digits),
+            used=jnp.arange(cap, dtype=jnp.int32) < n_kept,
+            n=n_kept,
+            overflowed=overflow,
+        )
+
+    def absorb(self, state: StoreState, other: StoreState,
+               interpret: bool = False) -> StoreState:
+        """Merge another store's contents into this one (store-to-store).
+
+        `other` may have a different (typically smaller) capacity but must
+        share the KmerSpec.  Digit triples are summed per key — counts of
+        keys present in both stores add exactly (the LSM cascade step).
+        """
+        cap = self.capacity
+        other_cap = other.keys.shape[0]
+        spec = self.spec
+        if self._pallas_mergeable(1, other_cap):
+            store_ops = pack_flag_key(state.keys, ~state.used, spec)
+            n_keys = len(store_ops)
+            inv_consts = self._inv_consts(n_keys)
+            store_run = tuple(store_ops) + (
+                state.digits[:, 0], state.digits[:, 1], state.digits[:, 2],
+            )
+            ops = pack_flag_key(other.keys, ~other.used, spec)
+            ops = [
+                jnp.where(other.used, op, const)
+                for op, const in zip(ops, inv_consts)
+            ]
+            dg = jnp.where(other.used[:, None], other.digits, 0)
+            run = tuple(ops) + (dg[:, 0], dg[:, 1], dg[:, 2])
+            return self._reduce_runs_pallas(
+                store_run, [run], n_keys,
+                state.overflowed | other.overflowed, fanin=2,
+                interpret=interpret,
+            )
+        inv = jnp.concatenate([~state.used, ~other.used])
+        keys = jnp.concatenate([state.keys, other.keys], axis=0)
+        digits = jnp.concatenate([state.digits, other.digits], axis=0)
+        ops = pack_flag_key(keys, inv, spec)
+        *sorted_all, = jax.lax.sort(
+            ops + (digits[:, 0], digits[:, 1], digits[:, 2]),
+            num_keys=len(ops),
+        )
+        ops_s = list(sorted_all[: len(ops)])
+        d = jnp.stack(sorted_all[len(ops) :], axis=1)
+        flag = _boundary_flags(ops_s)
+        dsum = _segmented_sum_rev(d, flag, 2)
+        _, rep = compact_rows(
+            flag, ops_s + [dsum[:, 0], dsum[:, 1], dsum[:, 2]]
+        )
+        new_keys, _ = unpack_flag_key(
+            [col[:cap] for col in rep[: len(ops)]], self.spec
+        )
+        new_digits = jnp.stack(
+            [col[:cap] for col in rep[len(ops) :]], axis=1
+        )
+        inv_rows = _invalid_bits(ops_s[0], ops_s, self.spec)
+        n_new = jnp.sum(flag & ~inv_rows, dtype=jnp.int32)
+        overflow = state.overflowed | other.overflowed | (n_new > cap)
         n_kept = jnp.minimum(n_new, cap)
         return StoreState(
             keys=new_keys,

@@ -105,8 +105,10 @@ class ShardedKmerCounter:
         max_reprobes: int = 64,
         canonical: bool = False,
         merge_every: int = 1,  # accepted for API parity (per-batch merge)
+        lsm: bool = False,    # accepted for API parity (per-shard stores
+        lsm_growth: int = 8,  # are batch-sized; levels add nothing there)
     ):
-        del merge_every
+        del merge_every, lsm, lsm_growth
         from tsxcount_tpu.core.counter import MODE_TO_BACKEND
 
         self.spec = KmerSpec(k)
