@@ -66,7 +66,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=14)
     ap.add_argument("--l", type=int, default=24)
-    ap.add_argument("--batch-words", type=int, default=1 << 20)
+    # 602112 sizes two batches to the default dataset's 1 198 147 packed
+    # words (16 bases/word), halving per-pass sorted rows vs 1<<20; any
+    # even value whose positions (16*words) are a 4096 multiple works
+    ap.add_argument("--batch-words", type=int, default=602112)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--backend", default="sort")
     ap.add_argument("--reads", type=int, default=N_READS,

@@ -100,7 +100,70 @@ def test_poly_t_not_confused_with_invalid():
     assert int(uc.counts[0]) == 5
 
 
-def test_digit_roundtrip_and_renorm():
+def test_u64_digit_roundtrip_and_carry_sum():
+    from tsxcount_tpu.ops.count import (
+        _segmented_sum_rev_u64, digits_to_u64, u64_to_digits,
+    )
+
+    vals = [0, 1, 2**20 - 1, 2**20, 2**32 - 1, 2**32, 2**40 + 12345,
+            2**52 - 7]
+    d = jnp.asarray([int_to_counts(v) for v in vals], jnp.int32)
+    lo, hi = digits_to_u64(d)
+    back = u64_to_digits(lo, hi)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(d))
+    got = [counts_to_int(*row) for row in np.asarray(back)]
+    assert got == vals
+
+    # carry across 2^32 inside a segment: two rows of (2^31 + 5) must sum
+    # to 2^32 + 10 at the segment head
+    lo2 = jnp.asarray([2**31 + 5, 2**31 + 5, 7, 0], jnp.uint32)
+    hi2 = jnp.asarray([0, 0, 1, 0], jnp.int32)
+    flag = jnp.asarray([True, False, True, True])
+    slo, shi = _segmented_sum_rev_u64(lo2, hi2, flag, 2)
+    assert int(slo[0]) == (2**32 + 10) % 2**32
+    assert int(shi[0]) == 1
+    assert int(slo[2]) == 7 and int(shi[2]) == 1
+
+
+def test_absorb_pallas_interpret_counts_cross_2_32():
+    """Store-to-store absorb (LSM cascade) summing counts past 2^32,
+    via the Pallas path in interpret mode."""
+    spec = KmerSpec(14)
+    store = CountStore(spec, capacity=1024)
+    big = 2**33 + 17
+    key = np.array([[5]], np.uint32)
+
+    def state_with(count):
+        st = store.init_state()
+        digits = np.zeros((1024, 3), np.int32)
+        digits[0] = int_to_counts(count)
+        keys = np.zeros((1024, 1), np.uint32)
+        keys[0] = key
+        return st._replace(
+            keys=jnp.asarray(keys),
+            digits=jnp.asarray(digits),
+            used=jnp.asarray(np.arange(1024) < 1),
+            n=jnp.asarray(1, jnp.int32),
+        )
+
+    a = state_with(big)
+    b = state_with(2**31 + 3)
+    # drive the pallas path directly (backend detection would pick XLA here)
+    n_keys = 1
+    from tsxcount_tpu.ops.count import digits_to_u64, pack_flag_key
+
+    lo, hi = digits_to_u64(jnp.where(b.used[:, None], b.digits, 0))
+    ops = pack_flag_key(b.keys, ~b.used, spec)
+    consts = store._inv_consts(n_keys)
+    ops = [jnp.where(b.used, op, c) for op, c in zip(ops, consts)]
+    st = a._replace(overflowed=a.overflowed | b.overflowed)
+    out = store._reduce_runs_pallas(
+        st, [tuple(ops) + (lo, hi)], n_keys, run_has_hi=True, fanin=2,
+        interpret=True,
+    )
+    keys_h, counts_h, n = store.to_host(out)
+    assert n == 1
+    assert int(counts_h[0]) == big + 2**31 + 3
     for v in [0, 1, 5, 2**20 - 1, 2**20, 2**31 - 1, 2**40 + 123]:
         assert counts_to_int(*int_to_counts(v)) == v
     # renorm propagates carries

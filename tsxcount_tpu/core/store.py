@@ -169,9 +169,6 @@ class CountStore:
         store_ops = pack_flag_key(state.keys, ~state.used, spec)
         n_keys = len(store_ops)  # packed key columns, msb-first
         inv_consts = self._inv_consts(n_keys)
-        store_run = tuple(store_ops) + (
-            state.digits[:, 0], state.digits[:, 1], state.digits[:, 2],
-        )
         runs = []
         for i in range(r):
             ops = pack_flag_key(ukeys[i], ~uvalid[i], spec)
@@ -179,22 +176,34 @@ class CountStore:
                 jnp.where(uvalid[i], op, const)
                 for op, const in zip(ops, inv_consts)
             ]
-            dg = int32_to_digits(
-                jnp.where(uvalid[i], ucounts[i].astype(jnp.int32), 0)
+            # counts ride the batch merge tree as ONE uint32 column and are
+            # widened to (lo, hi) only for the final store merge
+            cnt = jnp.where(
+                uvalid[i], ucounts[i].astype(jnp.uint32), jnp.uint32(0)
             )
-            runs.append(tuple(ops) + (dg[:, 0], dg[:, 1], dg[:, 2]))
+            runs.append(tuple(ops) + (cnt,))
         return self._reduce_runs_pallas(
-            store_run, runs, n_keys, state.overflowed, fanin=r + 1,
+            state, runs, n_keys, run_has_hi=False, fanin=r + 1,
             interpret=interpret, tile=tile,
         )
 
-    def _reduce_runs_pallas(self, store_run: tuple, runs: list,
-                            n_keys: int, prev_overflow: jax.Array,
+    def _reduce_runs_pallas(self, state: StoreState, runs: list,
+                            n_keys: int, run_has_hi: bool,
                             fanin: int, interpret: bool = False,
                             tile: int | None = None) -> StoreState:
-        """Merge pre-masked sorted runs (key ops + 3 digit columns each)
-        into the store run, dedupe, and rebuild a StoreState."""
-        from tsxcount_tpu.ops.count import _segmented_sum_rev
+        """Merge pre-masked sorted runs into the store, dedupe, rebuild.
+
+        Each run = key ops + count columns: (lo,) when run_has_hi is False
+        (batch histograms, counts < 2^32) or (lo, hi) for 64-bit counts
+        (store-to-store absorbs).  The store's digit triples convert to
+        (lo, hi) words for the merge and back after — two fewer payload
+        columns through the merge/compaction kernels than digit triples.
+        """
+        from tsxcount_tpu.ops.count import (
+            _segmented_sum_rev_u64,
+            digits_to_u64,
+            u64_to_digits,
+        )
         from tsxcount_tpu.ops.pallas_merge import DEFAULT_TILE, merge_sorted
 
         tile = tile or DEFAULT_TILE
@@ -204,31 +213,39 @@ class CountStore:
         for nxt in runs[1:]:
             acc = merge_sorted(acc, nxt, tile=tile, interpret=interpret,
                                n_keys=n_keys)
+        if not run_has_hi:
+            acc = acc + (jnp.zeros_like(acc[n_keys], jnp.int32),)
+        lo0, hi0 = digits_to_u64(state.digits)
+        store_run = tuple(pack_flag_key(state.keys, ~state.used, spec)) + (
+            jnp.where(state.used, lo0, jnp.uint32(0)),
+            jnp.where(state.used, hi0, 0),
+        )
         merged = merge_sorted(store_run, acc, tile=tile,
                               interpret=interpret, n_keys=n_keys)
 
         key_cols = list(merged[:n_keys])
-        d = jnp.stack(merged[n_keys : n_keys + 3], axis=1)
         neq = key_cols[0][1:] != key_cols[0][:-1]
         for col in key_cols[1:]:
             neq = neq | (col[1:] != col[:-1])
         flag = jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
-        dsum = _segmented_sum_rev(d, flag, fanin)
-        # Pallas stream compaction (1.5x the XLA payload-sort compaction)
+        lo, hi = _segmented_sum_rev_u64(
+            merged[n_keys], merged[n_keys + 1], flag, fanin
+        )
+        # Pallas stream compaction (butterfly routing network)
         from tsxcount_tpu.ops.pallas_compact import compact_flagged
 
         rep = list(compact_flagged(
             flag.astype(jnp.int32),
-            tuple(key_cols) + (dsum[:, 0], dsum[:, 1], dsum[:, 2]),
+            tuple(key_cols) + (lo, hi),
             interpret=interpret,
         ))
         new_keys, _ = unpack_flag_key(
             [c[:cap] for c in rep[:n_keys]], spec
         )
-        new_digits = jnp.stack([c[:cap] for c in rep[n_keys:]], axis=1)
+        new_digits = u64_to_digits(rep[n_keys][:cap], rep[n_keys + 1][:cap])
         inv_rows = _invalid_bits(key_cols[0], key_cols, spec)
         n_new = jnp.sum(flag & ~inv_rows, dtype=jnp.int32)
-        overflow = prev_overflow | (n_new > cap)
+        overflow = state.overflowed | (n_new > cap)
         n_kept = jnp.minimum(n_new, cap)
         return StoreState(
             keys=new_keys,
@@ -250,22 +267,24 @@ class CountStore:
         other_cap = other.keys.shape[0]
         spec = self.spec
         if self._pallas_mergeable(1, other_cap):
-            store_ops = pack_flag_key(state.keys, ~state.used, spec)
-            n_keys = len(store_ops)
+            from tsxcount_tpu.ops.count import digits_to_u64
+
+            n_keys = len(pack_flag_key(state.keys, ~state.used, spec))
             inv_consts = self._inv_consts(n_keys)
-            store_run = tuple(store_ops) + (
-                state.digits[:, 0], state.digits[:, 1], state.digits[:, 2],
-            )
             ops = pack_flag_key(other.keys, ~other.used, spec)
             ops = [
                 jnp.where(other.used, op, const)
                 for op, const in zip(ops, inv_consts)
             ]
-            dg = jnp.where(other.used[:, None], other.digits, 0)
-            run = tuple(ops) + (dg[:, 0], dg[:, 1], dg[:, 2])
+            lo, hi = digits_to_u64(
+                jnp.where(other.used[:, None], other.digits, 0)
+            )
+            run = tuple(ops) + (lo, hi)
+            state = state._replace(
+                overflowed=state.overflowed | other.overflowed
+            )
             return self._reduce_runs_pallas(
-                store_run, [run], n_keys,
-                state.overflowed | other.overflowed, fanin=2,
+                state, [run], n_keys, run_has_hi=True, fanin=2,
                 interpret=interpret,
             )
         inv = jnp.concatenate([~state.used, ~other.used])

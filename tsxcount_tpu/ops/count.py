@@ -261,6 +261,54 @@ def _segmented_sum_rev(vals: jax.Array, flag: jax.Array,
     return x
 
 
+def _segmented_sum_rev_u64(lo: jax.Array, hi: jax.Array, flag: jax.Array,
+                           max_fanin: int) -> tuple[jax.Array, jax.Array]:
+    """First-row-anchored segmented sum of 64-bit (lo uint32, hi int32)
+    column pairs — the carry-aware twin of _segmented_sum_rev, used when
+    counts ride the merge as two words instead of three digit lanes."""
+    p = lo.shape[0]
+    endf = jnp.concatenate([flag[1:], jnp.ones((1,), jnp.bool_)])
+    f = endf
+    d = 1
+    while d < max_fanin and d < p:
+        lo_s = jnp.concatenate([lo[d:], jnp.zeros((d,), lo.dtype)])
+        hi_s = jnp.concatenate([hi[d:], jnp.zeros((d,), hi.dtype)])
+        f_s = jnp.concatenate([f[d:], jnp.ones((d,), jnp.bool_)])
+        add_lo = jnp.where(f, jnp.uint32(0), lo_s)
+        new_lo = lo + add_lo
+        carry = (new_lo < add_lo).astype(hi.dtype)  # uint32 wraparound
+        hi = hi + jnp.where(f, 0, hi_s) + carry
+        lo = new_lo
+        f = f | f_s
+        d *= 2
+    return lo, hi
+
+
+def digits_to_u64(d: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Digit triples int32 [..., 3] (base 2^20) -> (lo uint32, hi int32)."""
+    d0 = d[..., 0].astype(jnp.uint32)
+    d1 = d[..., 1].astype(jnp.uint32)
+    d2 = d[..., 2].astype(jnp.uint32)
+    # value = d0 + d1*2^20 + d2*2^40 with digits < 2^20: d2 has no bits
+    # below 32, so lo = d0 | low 12 bits of d1 shifted up
+    lo = d0 | (d1 << 20)
+    hi = (d1 >> 12) | (d2 << 8)
+    return lo, hi.astype(jnp.int32)
+
+
+def u64_to_digits(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """(lo uint32, hi int32) -> digit triples int32 [..., 3] (base 2^20)."""
+    hi_u = hi.astype(jnp.uint32)
+    d0 = lo & jnp.uint32(COUNT_DIGIT_MASK)
+    # d1's low 12 bits sit in lo[20:32], its high 8 bits in hi[0:8]
+    d1 = (lo >> 20) | ((hi_u & jnp.uint32(0xFF)) << 12)
+    d2 = hi_u >> 8
+    return jnp.stack(
+        [d0.astype(jnp.int32), d1.astype(jnp.int32), d2.astype(jnp.int32)],
+        axis=-1,
+    )
+
+
 # --- count digits -----------------------------------------------------------
 
 def renorm_digits(d: jax.Array) -> jax.Array:

@@ -176,8 +176,11 @@ def compact_flagged(flag: jax.Array, cols: tuple, tile: int = DEFAULT_TILE,
     if tile < ALIGN or tile & (tile - 1):
         raise ValueError("tile must be a power of two >= 1024")
     total = flag.shape[0]
+    while tile > ALIGN and total % tile:  # shrink to a divisor of total
+        tile //= 2
     if total % tile != 0:
-        raise ValueError(f"total {total} not a multiple of {tile}")
+        raise ValueError(f"total {total} not a multiple of any tile >= "
+                         f"{ALIGN}")
     t_tiles = total // tile
     n_cols = len(cols)
     win = tile + ALIGN

@@ -150,8 +150,11 @@ def merge_sorted(a_cols: tuple, b_cols: tuple, tile: int = DEFAULT_TILE,
     m = a_cols[0].shape[0]
     n = b_cols[0].shape[0]
     total = m + n
+    while tile > ALIGN and total % tile:  # shrink to a divisor of total
+        tile //= 2
     if total % tile != 0:
-        raise ValueError(f"total length {total} not a multiple of {tile}")
+        raise ValueError(f"total length {total} not a multiple of any "
+                         f"tile >= {ALIGN}")
     t_tiles = total // tile
     win = tile + ALIGN       # aligned load window per side
     win_rows = win // LANES
