@@ -37,6 +37,18 @@ def test_counter_multiword_keys(backend):
     assert counter.to_dict() == dict(naive_kmers(reads, 33))
 
 
+@pytest.mark.parametrize("k", [16, 48])
+def test_counter_full_top_lane(k):
+    """k % 16 == 0: the key fills its top lane, so the validity flag needs
+    a separate sort operand (pack_flag_key's top_lane_bits == 32 case)."""
+    rng = np.random.default_rng(k)
+    reads = rand_reads(rng, 15, k + 2, 2 * k + 50)
+    counter = KmerCounter(k=k, l=12, batch_words=64)
+    counter.add_reads(reads)
+    counter.finish()
+    assert counter.to_dict() == dict(naive_kmers(reads, k))
+
+
 def test_counter_get_counts_queries():
     rng = np.random.default_rng(5)
     reads = rand_reads(rng, 20, 20, 60)
