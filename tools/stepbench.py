@@ -55,7 +55,7 @@ def main() -> int:
         0, 2**32, size=batch.total_words, dtype=np.uint32
     )
     words_np[-batch.pad_words :] = 0
-    vmask_np = np.full(batch.capacity_words, 0xFFFF, dtype=np.uint32)
+    vmask_np = np.full(batch.vmask_words, 0xFFFFFFFF, dtype=np.uint32)
 
     def timed(label, fn, *fargs, reps=args.reps):
         fence(fn(*fargs))
