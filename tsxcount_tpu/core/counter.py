@@ -34,7 +34,11 @@ from tsxcount_tpu.io.packer import PackedBatch, ReadPacker
 from tsxcount_tpu.ops.canonical import canonicalize
 from tsxcount_tpu.ops.count import count_unique
 from tsxcount_tpu.ops.gf2 import DEFAULT_SEED, GF2Hash
-from tsxcount_tpu.ops.window import expand_vmask, extract_kmers
+from tsxcount_tpu.ops.window import (
+    expand_vmask,
+    extract_kmer_cols,
+    extract_kmers,
+)
 from tsxcount_tpu.utils.goldenfile import read_golden
 from tsxcount_tpu.utils.sequence import kmers_to_strings, strings_to_kmers
 
@@ -145,9 +149,13 @@ class KmerCounter:
             batch = self.batch
 
             def dedupe(words, vmask):
-                kmers = extract_kmers(words, batch)
                 if canonical:
-                    kmers = canonicalize(kmers, batch.spec)
+                    kmers = canonicalize(extract_kmers(words, batch),
+                                         batch.spec)
+                else:
+                    # lane columns feed the sort directly (no [P, lanes]
+                    # stack/transpose materialization)
+                    kmers = extract_kmer_cols(words, batch)
                 valid = expand_vmask(vmask, batch)
                 uc = count_unique(kmers, valid, spec=batch.spec)
                 return uc.keys, uc.counts, uc.valid
@@ -180,9 +188,10 @@ class KmerCounter:
         canonical = self.canonical
 
         def step(state, words, vmask):
-            kmers = extract_kmers(words, batch)
             if canonical:
-                kmers = canonicalize(kmers, batch.spec)
+                kmers = canonicalize(extract_kmers(words, batch), batch.spec)
+            else:
+                kmers = extract_kmer_cols(words, batch)
             valid = expand_vmask(vmask, batch)
             uc = count_unique(kmers, valid, spec=batch.spec)
             return table.insert(state, uc.keys, uc.counts, uc.valid)

@@ -14,11 +14,15 @@ segmented sums can never overflow an int32 lane.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# perf experiment knob: override the Pallas merge kernel tile (elements)
+_MERGE_TILE = int(os.environ.get("TSX_MERGE_TILE", "0")) or None
 
 from tsxcount_tpu.config import COUNT_DIGITS, KmerSpec, counts_to_int
 from tsxcount_tpu.ops.count import (
@@ -206,7 +210,7 @@ class CountStore:
         )
         from tsxcount_tpu.ops.pallas_merge import DEFAULT_TILE, merge_sorted
 
-        tile = tile or DEFAULT_TILE
+        tile = tile or _MERGE_TILE or DEFAULT_TILE
         cap = self.capacity
         spec = self.spec
         acc = runs[0]

@@ -64,12 +64,19 @@ def pack_flag_key(kmers: jax.Array, invalid: jax.Array,
     alias a real k-mer (including all-ones poly-T).
     """
     lanes = kmers.shape[-1]
+    return pack_flag_key_cols(
+        [kmers[..., j] for j in range(lanes)], invalid, spec
+    )
+
+
+def pack_flag_key_cols(cols: Sequence[jax.Array], invalid: jax.Array,
+                       spec: KmerSpec) -> tuple[jax.Array, ...]:
+    """Lane columns (lsb lane first) + invalid flag -> msb-first operands."""
     inv = invalid.astype(jnp.uint32)
     if spec.top_lane_bits < 32:
-        top = kmers[..., lanes - 1] | (inv << spec.top_lane_bits)
-        rest = tuple(kmers[..., j] for j in reversed(range(lanes - 1)))
-        return (top,) + rest
-    return (inv,) + tuple(kmers[..., j] for j in reversed(range(lanes)))
+        top = cols[-1] | (inv << spec.top_lane_bits)
+        return (top,) + tuple(reversed(cols[:-1]))
+    return (inv,) + tuple(reversed(cols))
 
 
 def unpack_flag_key(ops: Sequence[jax.Array],
@@ -120,22 +127,32 @@ def _pallas_compactable(p: int) -> bool:
     return p % DEFAULT_TILE == 0 and jax.default_backend() == "tpu"
 
 
-def count_unique(kmers: jax.Array, valid: jax.Array,
+def count_unique(kmers, valid: jax.Array,
                  weights: jax.Array | None = None,
                  spec: KmerSpec | None = None,
                  max_multiplicity: int | None = None,
                  force_pallas: bool | None = None) -> UniqueCounts:
     """Exact histogram of the valid rows of `kmers`.
 
+    kmers: (P, lanes) array, or a sequence of per-lane columns (lsb lane
+    first, e.g. from extract_kmer_cols — avoids materializing the stacked
+    array before the sort).
     weights: optional int32 per-row multiplicities (default 1).  With
     weights, max_multiplicity bounds how many rows can share one key
     (drives the log-step segmented sum); without, counts are adjacent
     differences of boundary positions (no scan at all).
     """
-    p, lanes = kmers.shape
-    if spec is None:
-        spec = _spec_from_lanes(lanes)
-    ops = pack_flag_key(kmers, ~valid, spec)
+    if isinstance(kmers, (list, tuple)):
+        lanes = len(kmers)
+        p = kmers[0].shape[0]
+        if spec is None:
+            spec = _spec_from_lanes(lanes)
+        ops = pack_flag_key_cols(kmers, ~valid, spec)
+    else:
+        p, lanes = kmers.shape
+        if spec is None:
+            spec = _spec_from_lanes(lanes)
+        ops = pack_flag_key(kmers, ~valid, spec)
     use_pallas = (
         _pallas_compactable(p) if force_pallas is None else force_pallas
     )

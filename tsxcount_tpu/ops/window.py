@@ -23,35 +23,46 @@ import jax.numpy as jnp
 from tsxcount_tpu.config import BASES_PER_WORD, BatchSpec
 
 
-def extract_kmers(words: jax.Array, batch: BatchSpec) -> jax.Array:
-    """words: uint32[total_words] -> kmers uint32[positions, lanes].
+def extract_kmer_cols(words: jax.Array, batch: BatchSpec) -> list[jax.Array]:
+    """words: uint32[total_words] -> per-lane window columns, each [positions].
 
-    Row p holds the window starting at base position p (p = 16q + s ordering
-    is plain position order).  Invalid positions produce garbage rows; the
-    caller masks them with the packer's validity bitmask (expand_vmask).
+    Key identity: lane j of the window at position p equals lane 0 of the
+    window at position p + 16j, so ONE base stream L0 (built directly in
+    position order — no transpose, no [P, lanes] materialization) serves
+    every lane as a slice.  Returned lsb-lane first; the top lane is masked
+    to the key width.  Invalid positions produce garbage; the caller masks
+    them with the packer's validity bitmask (expand_vmask).
     """
     spec = batch.spec
     lanes = spec.lanes
-    q_words = batch.capacity_words
-
-    w0 = words[:-1]
-    w1 = words[1:]
+    p_total = batch.positions
+    # L0[16q+s] = (words[q] >> 2s) | (words[q+1] << (32-2s)); lane j needs
+    # L0 up to p_total + 16*(lanes-1), i.e. words up to capacity+lanes-1
+    # (available: total_words = capacity + lanes pad words).
+    q_ext = batch.capacity_words + lanes - 1
+    w0 = words[:q_ext, None]
+    w1 = words[1 : q_ext + 1, None]
     # shifts 0,2,...,30; express `<< (32-2s)` as `<< (31-2s) << 1` so every
     # single shift amount stays < 32 (shift-by-32 is undefined).
-    sh = (2 * jnp.arange(BASES_PER_WORD, dtype=jnp.uint32))[:, None]
-    streams = (w0[None, :] >> sh) | ((w1[None, :] << (31 - sh)) << jnp.uint32(1))
-
-    # lane j of position 16q+s = streams[s, q+j]
-    per_lane = [
-        jax.lax.slice_in_dim(streams, j, j + q_words, axis=1)
+    sh = (2 * jnp.arange(BASES_PER_WORD, dtype=jnp.uint32))[None, :]
+    stream = ((w0 >> sh) | ((w1 << (31 - sh)) << jnp.uint32(1))).reshape(-1)
+    cols = [
+        jax.lax.slice_in_dim(stream, 16 * j, 16 * j + p_total, axis=0)
         for j in range(lanes)
     ]
-    kmers = jnp.stack(per_lane, axis=-1)          # (16, Q, lanes)
-    kmers = kmers.transpose(1, 0, 2).reshape(batch.positions, lanes)
     if spec.top_lane_bits < 32:
-        mask = jnp.uint32(spec.top_lane_mask)
-        kmers = kmers.at[:, lanes - 1].set(kmers[:, lanes - 1] & mask)
-    return kmers
+        cols[-1] = cols[-1] & jnp.uint32(spec.top_lane_mask)
+    return cols
+
+
+def extract_kmers(words: jax.Array, batch: BatchSpec) -> jax.Array:
+    """words: uint32[total_words] -> kmers uint32[positions, lanes].
+
+    Row p holds the window starting at base position p.  Stacked-array
+    convenience wrapper over extract_kmer_cols (the hot path feeds the
+    columns straight into the sort without this materialization).
+    """
+    return jnp.stack(extract_kmer_cols(words, batch), axis=-1)
 
 
 def expand_vmask(vmask: jax.Array, batch: BatchSpec) -> jax.Array:
