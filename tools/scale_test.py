@@ -26,6 +26,11 @@ def main() -> int:
     ap.add_argument("--l", type=int, default=27)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--spot-checks", type=int, default=2000)
+    ap.add_argument("--lsm", action="store_true",
+                    help="first counter uses the LSM multi-level store; "
+                         "cross-checked against the flat-store recount")
+    ap.add_argument("--batch-words", type=int, default=1 << 20)
+    ap.add_argument("--lsm-growth", type=int, default=2)
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -38,8 +43,11 @@ def main() -> int:
     fastq = bench_fastq_path(args.reads)
     ensure_synth_fastq(fastq, n_reads=args.reads)
 
-    counter = KmerCounter(k=args.k, l=args.l, batch_words=1 << 20,
-                          merge_every=4)
+    counter = KmerCounter(k=args.k, l=args.l, batch_words=args.batch_words,
+                          merge_every=4, lsm=args.lsm,
+                          lsm_growth=args.lsm_growth)
+    if args.lsm:
+        assert counter.lsm, "LSM did not engage at these shapes"
     t0 = time.perf_counter()
     counter.count_file(fastq)
     distinct = counter.distinct
@@ -56,7 +64,8 @@ def main() -> int:
     import jax.numpy as jnp
 
     def checksum(c):
-        st = c.state
+        c.distinct  # flush + collapse (LSM) so the top level is authoritative
+        st = c.state[-1] if c.lsm else c.state
 
         def f(keys, digits, n):
             # only the used prefix [0, n) is defined; the tail is garbage
@@ -81,7 +90,8 @@ def main() -> int:
         )
 
     cs1 = checksum(counter)
-    counter2 = KmerCounter(k=args.k, l=args.l, batch_words=1 << 19,
+    counter2 = KmerCounter(k=args.k, l=args.l,
+                           batch_words=max(64, args.batch_words // 2),
                            merge_every=3)
     counter2.count_file(fastq)
     cs2 = checksum(counter2)

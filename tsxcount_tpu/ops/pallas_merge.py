@@ -40,7 +40,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE = 1 << 13  # output elements per grid step (pow2, >= 1024)
+DEFAULT_TILE = 1 << 14  # output elements per grid step (pow2, >= 1024);
+# bigger tiles amortize the bitonic merger's log(4*tile) stages over more
+# outputs: 16384 beat 8192 by 14% end-to-end (tools/kernelbench.py A/B)
 ALIGN = 1024            # Mosaic dynamic-slice alignment for 32-bit dtypes
 LANES = 128
 MAX_KEY = 0xFFFFFFFF  # python int: jnp scalars would be captured consts in the kernel
