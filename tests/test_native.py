@@ -45,8 +45,7 @@ def test_native_bit_identical_to_python(tmp_path, k):
 
     assert len(nat_batches) == len(py_batches)
     for nb, pb in zip(nat_batches, py_batches):
-        np.testing.assert_array_equal(nb.words, pb.words)
-        np.testing.assert_array_equal(nb.vmask, pb.vmask)
+        np.testing.assert_array_equal(nb.buf, pb.buf)  # words AND intervals
         assert nb.n_valid == pb.n_valid
     assert reader.stats.reads == py_stats.reads
     assert reader.stats.reads_skipped == py_stats.reads_skipped
@@ -88,6 +87,22 @@ def test_native_n_policy_drop(tmp_path):
     batch = BatchSpec(KmerSpec(k), capacity_words=8)
     got = kmers_from_batches(NativeFileReader(path, batch), k)
     assert got == naive_kmers(reads, k)
+
+
+def test_native_interval_budget_truncation_parity(tmp_path):
+    # N-dense read with more valid runs than the interval budget: the
+    # native packer must truncate/early-flush bit-identically to Python
+    k = 4
+    reads = [("ACGTA" + "N") * 3000, "ACGT" * 10]
+    path = tmp_path / "t.fastq"
+    write_fastq(path, reads)
+    batch = BatchSpec(KmerSpec(k), capacity_words=2048)
+    py_batches, py_stats = python_batches(reads, batch)
+    nat_batches = list(NativeFileReader(path, batch))
+    assert len(nat_batches) == len(py_batches) >= 3
+    for nb, pb in zip(nat_batches, py_batches):
+        np.testing.assert_array_equal(nb.buf, pb.buf)
+        assert nb.n_valid == pb.n_valid
 
 
 def test_native_malformed_fastq(tmp_path):

@@ -95,6 +95,21 @@ def test_packer_random_policy_is_deterministic_and_counts_all_windows():
     assert sum(a.values()) == len(reads[0]) - k + 1
 
 
+def test_packer_interval_budget_early_flush():
+    # more valid runs than max_intervals in one segment: the packer must
+    # truncate mid-segment, flush early, and preserve every window
+    k = 4
+    read = ("ACGTA" + "N") * 3000  # 3000 runs of 2 windows each at k=4
+    batch = BatchSpec(KmerSpec(k), capacity_words=2048)
+    assert batch.max_intervals == 1024
+    batches = list(pack_reads([read], batch))
+    assert len(batches) >= 3  # early flushes happened
+    for pb in batches:
+        n_ivs = int((pb.iv_starts != 0xFFFFFFFF).sum())
+        assert n_ivs <= batch.max_intervals
+    assert kmers_from_batches(batches, k) == naive_kmers([read], k)
+
+
 def test_word_alignment_of_reads():
     batch = BatchSpec(KmerSpec(4), capacity_words=8)
     packer = ReadPacker(batch)

@@ -43,7 +43,7 @@ def main() -> int:
     from tsxcount_tpu.config import BatchSpec, KmerSpec
     from tsxcount_tpu.core.store import CountStore
     from tsxcount_tpu.ops.count import count_unique
-    from tsxcount_tpu.ops.window import expand_vmask, extract_kmers
+    from tsxcount_tpu.ops.window import extract_kmers, intervals_to_valid
 
     spec = KmerSpec(args.k)
     batch = BatchSpec(spec, args.batch_words)
@@ -51,11 +51,17 @@ def main() -> int:
     r = args.merge_every
 
     rng = np.random.default_rng(0)
-    words_np = rng.integers(
+    buf_np = np.full(batch.buf_words, 0xFFFFFFFF, dtype=np.uint32)
+    buf_np[: batch.total_words] = rng.integers(
         0, 2**32, size=batch.total_words, dtype=np.uint32
     )
-    words_np[-batch.pad_words :] = 0
-    vmask_np = np.full(batch.vmask_words, 0xFFFFFFFF, dtype=np.uint32)
+    buf_np[batch.capacity_words : batch.total_words] = 0
+    # synthetic intervals: ~one valid run per 600 positions (bench-like)
+    tw, m = batch.total_words, batch.max_intervals
+    n_iv = max(1, batch.positions // 600)
+    bounds = np.linspace(0, batch.positions, n_iv + 1, dtype=np.uint32)
+    buf_np[tw : tw + n_iv] = bounds[:-1]
+    buf_np[tw + m : tw + m + n_iv] = bounds[1:] - spec.k  # k-wide gaps
 
     def timed(label, fn, *fargs, reps=args.reps):
         fence(fn(*fargs))
@@ -66,21 +72,21 @@ def main() -> int:
         print(f"{label:>18}: {dt*1e3:9.1f} ms")
         return dt
 
-    h2d = jax.jit(lambda w, v: (w.sum(), v.sum()))
+    h2d = jax.jit(lambda b: b.sum())
     t0 = time.perf_counter()
     for _ in range(args.reps):
-        fence(h2d(jax.device_put(words_np), jax.device_put(vmask_np)))
+        fence(h2d(jax.device_put(buf_np)))
     print(f"{'h2d+touch':>18}: {(time.perf_counter()-t0)/args.reps*1e3:9.1f} ms")
 
-    dedupe = jax.jit(
-        lambda w, v: count_unique(
-            extract_kmers(w, batch), expand_vmask(v, batch), spec=spec
-        )
-    )
-    words = jax.device_put(words_np)
-    vmask = jax.device_put(vmask_np)
-    uc = dedupe(words, vmask)
-    timed("extract+dedupe", dedupe, words, vmask)
+    def dedupe_fn(b):
+        kmers = extract_kmers(b[: batch.total_words], batch)
+        valid = intervals_to_valid(b[batch.total_words :], batch)
+        return count_unique(kmers, valid, spec=spec)
+
+    dedupe = jax.jit(dedupe_fn)
+    buf = jax.device_put(buf_np)
+    uc = dedupe(buf)
+    timed("extract+dedupe", dedupe, buf)
 
     merge = jax.jit(store.merge_stacked)
     state = store.init_state()

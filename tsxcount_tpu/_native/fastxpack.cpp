@@ -13,9 +13,12 @@
 //   * every read starts on a 16-base word boundary;
 //   * reads shorter than k are skipped (reference testExecution.h:18-19);
 //   * reads longer than remaining capacity split with k-1 base overlap;
-//   * bit p%32 of vmask[p/32] marks window start position p as valid
-//     (dense 1 bit/position): fully inside one read segment and (drop
-//     policy) N-free;
+//   * window validity is INTERVAL-coded: the batch buffer is
+//     [words | interval starts | interval ends] — sorted disjoint
+//     [start, end) runs of valid window positions (fully inside one read
+//     segment and, under drop policy, N-free); unused interval slots hold
+//     0xFFFFFFFF.  A batch whose interval budget fills flushes early,
+//     continuing the read in the next batch with the k-1 overlap;
 //   * n_policy: 0 = drop (windows containing N masked),
 //               1 = random (N replaced by a seeded random base — the
 //               reference's nondeterministic behavior, SequenceUtils.h:126-137,
@@ -202,34 +205,67 @@ struct Handle {
   }
 };
 
-// pack codes[start, start+len) at word w0 of words; mark valid windows
-void place_segment(Handle *h, uint32_t *words, uint32_t *vmask, int64_t w0,
-                   size_t seg_len) {
+// Pack codes[start, start+seg_len) at word w0 and emit valid-window runs
+// as intervals.  Returns the number of bases actually placed: seg_len
+// normally, less if the interval budget truncated the segment mid-read
+// (the unplaced windows stay with the read's continuation), 0 if nothing
+// fits (caller flushes the batch and retries).  Must stay bit-identical
+// to ReadPacker._place_segment.
+size_t place_segment(Handle *h, uint32_t *words, uint32_t *iv_s,
+                     uint32_t *iv_e, int64_t max_ivs, int64_t *n_ivs,
+                     int64_t w0, size_t seg_len) {
   const uint8_t *codes = h->codes.data() + h->start;
   const int32_t *run = h->run.data() + h->start;
+  const int k = h->k;
+  int64_t n_win = (int64_t)seg_len - k + 1;
+  int64_t base = w0 * kBasesPerWord;
+
+  // maximal runs of valid window starts, truncated at the interval budget
+  int64_t placed_win = n_win;
+  int64_t run_start = -1;
+  int64_t emitted_windows = 0;
+  bool truncated = false;
+  for (int64_t p = 0; p < n_win; ++p) {
+    bool ok = run[p] >= k;
+    if (ok && run_start < 0) {
+      if (*n_ivs >= max_ivs) {
+        truncated = true;
+        placed_win = p;
+        break;
+      }
+      run_start = p;
+      iv_s[*n_ivs] = (uint32_t)(base + p);
+    } else if (!ok && run_start >= 0) {
+      iv_e[(*n_ivs)++] = (uint32_t)(base + p);
+      emitted_windows += p - run_start;
+      run_start = -1;
+    }
+  }
+  if (run_start >= 0) {
+    iv_e[(*n_ivs)++] = (uint32_t)(base + placed_win);
+    emitted_windows += placed_win - run_start;
+  }
+  size_t placed =
+      truncated ? (placed_win > 0 ? (size_t)(placed_win + k - 1) : 0)
+                : seg_len;
+  if (placed == 0) return 0;
+  h->windows += emitted_windows;
+
+  // pack exactly `placed` bases (tail bits of the last word stay zero)
   int64_t w = w0;
   size_t i = 0;
-  for (; i + kBasesPerWord <= seg_len; i += kBasesPerWord, ++w) {
+  for (; i + kBasesPerWord <= placed; i += kBasesPerWord, ++w) {
     uint32_t v = 0;
     for (int j = kBasesPerWord - 1; j >= 0; --j)
       v = (v << 2) | codes[i + (size_t)j];
     words[w] = v;
   }
-  if (i < seg_len) {
+  if (i < placed) {
     uint32_t v = 0;
-    for (size_t j = seg_len; j-- > i;) v = (v << 2) | codes[j];
+    for (size_t j = placed; j-- > i;) v = (v << 2) | codes[j];
     words[w] = v;
   }
-  // windows fully inside the segment with k consecutive valid bases
-  int64_t n_win = (int64_t)seg_len - h->k + 1;
-  int64_t base = w0 * kBasesPerWord;
-  for (int64_t p = 0; p < n_win; ++p) {
-    if (run[p] >= h->k) {
-      int64_t g = base + p;
-      vmask[g >> 5] |= 1u << (g & 31);
-      h->windows++;
-    }
-  }
+  return placed;
 }
 
 }  // namespace
@@ -257,18 +293,22 @@ void *fxp_open(const char *path, int k, int n_policy, uint64_t seed) {
   return h;
 }
 
-// Fills one batch. words must hold total_words uint32 (capacity + pad),
-// vmask capacity_words uint32; both are zeroed here.
+// Fills one batch buffer laid out as [words | iv starts | iv ends]:
+// total_words uint32 of packed bases (zeroed here) followed by
+// 2*max_intervals uint32 of validity intervals (set to 0xFFFFFFFF here).
 // Returns 1 if more data may follow, 0 on EOF (batch may still hold data),
 // -1 on parse error.
-// vmask holds vmask_words = capacity_words/2 uint32 (1 bit per window pos)
-int fxp_next_batch(void *hv, uint32_t *words, int64_t total_words,
-                   uint32_t *vmask, int64_t capacity_words, int64_t *n_valid,
-                   int64_t *n_bases_out) {
+int fxp_next_batch(void *hv, uint32_t *buf, int64_t total_words,
+                   int64_t capacity_words, int64_t max_intervals,
+                   int64_t *n_valid, int64_t *n_bases_out) {
   Handle *h = (Handle *)hv;
+  uint32_t *words = buf;
+  uint32_t *iv_s = buf + total_words;
+  uint32_t *iv_e = iv_s + max_intervals;
   memset(words, 0, (size_t)total_words * sizeof(uint32_t));
-  memset(vmask, 0, (size_t)(capacity_words / 2) * sizeof(uint32_t));
+  memset(iv_s, 0xFF, (size_t)(2 * max_intervals) * sizeof(uint32_t));
   int64_t cur_word = 0;
+  int64_t n_ivs = 0;
   int64_t batch_bases = 0;
   int64_t windows_before = h->windows;
   const int k = h->k;
@@ -289,16 +329,18 @@ int fxp_next_batch(void *hv, uint32_t *words, int64_t total_words,
       continue;
     }
     int64_t avail_bases = (capacity_words - cur_word) * kBasesPerWord;
-    if (avail_bases < k) break;  // batch full
+    if (avail_bases < k) break;  // batch full (words)
     size_t seg_len =
         remaining < (size_t)avail_bases ? remaining : (size_t)avail_bases;
-    place_segment(h, words, vmask, cur_word, seg_len);
-    batch_bases += (int64_t)seg_len;
-    cur_word += (int64_t)((seg_len + kBasesPerWord - 1) / kBasesPerWord);
-    if (h->start + seg_len >= h->codes.size()) {
+    size_t placed = place_segment(h, words, iv_s, iv_e, max_intervals,
+                                  &n_ivs, cur_word, seg_len);
+    if (placed == 0) break;  // batch full (interval budget): early flush
+    batch_bases += (int64_t)placed;
+    cur_word += (int64_t)((placed + kBasesPerWord - 1) / kBasesPerWord);
+    if (h->start + placed >= h->codes.size()) {
       h->have_read = false;
     } else {
-      h->start += seg_len - (size_t)(k - 1);
+      h->start += placed - (size_t)(k - 1);
     }
   }
   *n_valid = h->windows - windows_before;

@@ -91,9 +91,29 @@ class BatchSpec:
 
     @property
     def vmask_words(self) -> int:
-        """uint32 words of the validity bitmask: 1 bit per window position
-        (positions = 16 * capacity_words, packed 32 per word)."""
+        """uint32 words of the dense validity bitmask: 1 bit per window
+        position (positions = 16 * capacity_words, packed 32 per word).
+        The dense form is the multi-chip wire format and the debug view;
+        the single-chip hot path ships intervals instead (max_intervals)."""
         return self.capacity_words // 2
+
+    @property
+    def max_intervals(self) -> int:
+        """Capacity of the interval-coded validity list per batch.
+
+        Window validity is a union of disjoint [start, end) runs — one per
+        read segment, plus splits around N bases — so the packer ships runs
+        (8 bytes each) instead of the dense 1-bit-per-position mask: ~6x
+        fewer H2D bytes for read lengths >= ~400 bases.  When a batch
+        accumulates more runs than this, the packer flushes it early
+        (partially filled), trading fill for the fixed shape jit needs."""
+        return max(1024, self.positions // 384)
+
+    @property
+    def buf_words(self) -> int:
+        """uint32 length of the combined device buffer: packed base words
+        followed by interval starts then ends (ONE H2D transfer/batch)."""
+        return self.total_words + 2 * self.max_intervals
 
     @property
     def capacity_bases(self) -> int:

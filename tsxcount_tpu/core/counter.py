@@ -35,9 +35,9 @@ from tsxcount_tpu.ops.canonical import canonicalize
 from tsxcount_tpu.ops.count import count_unique
 from tsxcount_tpu.ops.gf2 import DEFAULT_SEED, GF2Hash
 from tsxcount_tpu.ops.window import (
-    expand_vmask,
     extract_kmer_cols,
     extract_kmers,
+    intervals_to_valid,
 )
 from tsxcount_tpu.utils.goldenfile import read_golden
 from tsxcount_tpu.utils.sequence import kmers_to_strings, strings_to_kmers
@@ -148,7 +148,10 @@ class KmerCounter:
             # amortizes the O(capacity) re-sort across R batches
             batch = self.batch
 
-            def dedupe(words, vmask):
+            def dedupe(buf):
+                # buf = [words | validity intervals]: ONE H2D transfer per
+                # batch; static slices are free under jit
+                words = buf[: batch.total_words]
                 if canonical:
                     kmers = canonicalize(extract_kmers(words, batch),
                                          batch.spec)
@@ -156,7 +159,7 @@ class KmerCounter:
                     # lane columns feed the sort directly (no [P, lanes]
                     # stack/transpose materialization)
                     kmers = extract_kmer_cols(words, batch)
-                valid = expand_vmask(vmask, batch)
+                valid = intervals_to_valid(buf[batch.total_words :], batch)
                 uc = count_unique(kmers, valid, spec=batch.spec)
                 return uc.keys, uc.counts, uc.valid
 
@@ -187,12 +190,13 @@ class KmerCounter:
 
         canonical = self.canonical
 
-        def step(state, words, vmask):
+        def step(state, buf):
+            words = buf[: batch.total_words]
             if canonical:
                 kmers = canonicalize(extract_kmers(words, batch), batch.spec)
             else:
                 kmers = extract_kmer_cols(words, batch)
-            valid = expand_vmask(vmask, batch)
+            valid = intervals_to_valid(buf[batch.total_words :], batch)
             uc = count_unique(kmers, valid, spec=batch.spec)
             return table.insert(state, uc.keys, uc.counts, uc.valid)
 
@@ -230,15 +234,15 @@ class KmerCounter:
             # async H2D: device_put returns before the copy completes, so the
             # next batch packs on host while this one transfers/computes —
             # the reader-task/counter-task overlap of the reference
-            # (main.cpp:132-218) without threads
-            words = jax.device_put(pb.words)
-            vmask = jax.device_put(pb.vmask)
+            # (main.cpp:132-218) without threads.  Words and validity
+            # intervals ride ONE combined buffer = one transfer per batch.
+            buf = jax.device_put(pb.buf)
             if self.backend == "sort":
-                self._pending_uc.append(self._dedupe(words, vmask))
+                self._pending_uc.append(self._dedupe(buf))
                 if len(self._pending_uc) >= self.merge_every:
                     self._flush_pending()
             else:
-                self.state = self._step(self.state, words, vmask)
+                self.state = self._step(self.state, buf)
             self.batches_processed += 1
         self.elapsed += time.perf_counter() - t0
 

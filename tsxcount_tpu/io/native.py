@@ -69,7 +69,7 @@ def _load():
         lib.fxp_next_batch.argtypes = [
             ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ]
         lib.fxp_stats.argtypes = [ctypes.c_void_p] + [
@@ -118,14 +118,13 @@ class NativeFileReader:
         n_bases = ctypes.c_int64()
         try:
             while True:
-                words = np.zeros(b.total_words, dtype=np.uint32)
-                vmask = np.zeros(b.vmask_words, dtype=np.uint32)
+                buf = np.empty(b.buf_words, dtype=np.uint32)
                 rc = lib.fxp_next_batch(
                     self._handle,
-                    words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
                     b.total_words,
-                    vmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
                     b.capacity_words,
+                    b.max_intervals,
                     ctypes.byref(n_valid),
                     ctypes.byref(n_bases),
                 )
@@ -137,9 +136,10 @@ class NativeFileReader:
                 if n_valid.value or n_bases.value:
                     self.stats.batches += 1
                     yield PackedBatch(
-                        words=words, vmask=vmask,
+                        buf=buf,
                         n_valid=int(n_valid.value),
                         n_bases=int(n_bases.value),
+                        batch=b,
                     )
                 if rc == 0:
                     break

@@ -7,13 +7,18 @@ batched layout the TPU can window-extract without gathers:
 
   * bases are 2-bit packed into uint32 words, 16 bases/word, LSB-first;
   * every read starts on a word boundary (fresh uint32);
-  * a validity *bitmask* marks which window start positions yield a real
-    k-mer: bit p%32 of `vmask[p//32]` covers position p.  A position is valid
-    iff the window [p, p+k) lies inside one read and (drop policy) contains
-    no N.  Reads shorter than k are skipped, matching the reference
-    (testExecution.h:18-19);
+  * window validity ships as INTERVALS: sorted disjoint [start, end) runs
+    of valid window positions (one per read segment, split around Ns),
+    since validity is read-boundary structure — ~6x fewer H2D bytes than a
+    dense bitmask.  A position is valid iff the window [p, p+k) lies inside
+    one read and (drop policy) contains no N.  Reads shorter than k are
+    skipped, matching the reference (testExecution.h:18-19);
+  * words and intervals ship as ONE uint32 buffer
+    `[words | interval starts | interval ends]` (buf_words long; unused
+    interval slots hold 0xFFFFFFFF) — a single device_put per batch;
   * reads longer than the remaining batch capacity are split with a k-1 base
-    overlap so no window is lost or duplicated at the seam.
+    overlap so no window is lost or duplicated at the seam; a batch that
+    fills its interval budget flushes early the same way.
 
 N handling is policy-driven: "drop" (default — the deliberate design) or
 "random" (reference bug-compat: the reference substitutes random bits,
@@ -32,15 +37,57 @@ from tsxcount_tpu.utils.sequence import encode_bases
 
 N_POLICIES = ("drop", "random")
 
+IV_SENTINEL = np.uint32(0xFFFFFFFF)
+
 
 @dataclasses.dataclass
 class PackedBatch:
-    """One fixed-shape device batch."""
+    """One fixed-shape device batch.
 
-    words: np.ndarray          # uint32 [total_words]; last pad_words are zero
-    vmask: np.ndarray          # uint32 [vmask_words]; bit p%32 of word p//32 = pos p valid
+    buf: uint32 [batch.buf_words] = [words | iv starts | iv ends];
+    the words section's last pad_words are zero, unused interval slots are
+    IV_SENTINEL.
+    """
+
+    buf: np.ndarray
     n_valid: int               # number of valid window positions
     n_bases: int               # bases packed into this batch (incl. overlaps)
+    batch: BatchSpec
+
+    @property
+    def words(self) -> np.ndarray:
+        return self.buf[: self.batch.total_words]
+
+    @property
+    def iv_starts(self) -> np.ndarray:
+        tw, m = self.batch.total_words, self.batch.max_intervals
+        return self.buf[tw : tw + m]
+
+    @property
+    def iv_ends(self) -> np.ndarray:
+        tw, m = self.batch.total_words, self.batch.max_intervals
+        return self.buf[tw + m : tw + 2 * m]
+
+    @property
+    def vmask(self) -> np.ndarray:
+        """Dense validity bitmask (bit p%32 of word p//32 = position p
+        valid) — the multi-chip wire format and debug view, derived from
+        the intervals on demand."""
+        b = self.batch
+        diff = np.zeros(b.positions + 1, np.int32)
+        starts = self.iv_starts
+        ends = self.iv_ends
+        real = starts != IV_SENTINEL
+        np.add.at(diff, starts[real].astype(np.int64), 1)
+        np.add.at(diff, ends[real].astype(np.int64), -1)
+        valid = np.cumsum(diff[:-1]) > 0
+        return np.packbits(valid, bitorder="little").view(np.uint32)
+
+    @classmethod
+    def empty(cls, batch: BatchSpec) -> "PackedBatch":
+        buf = np.zeros(batch.buf_words, np.uint32)
+        buf[batch.total_words :] = IV_SENTINEL
+        return cls(buf=buf, n_valid=0, n_bases=0, batch=batch)
 
 
 @dataclasses.dataclass
@@ -68,60 +115,86 @@ class ReadPacker:
 
     def _reset(self) -> None:
         b = self.batch
-        self._words = np.zeros(b.total_words, dtype=np.uint32)
-        self._vmask = np.zeros(b.vmask_words, dtype=np.uint32)
+        self._buf = np.zeros(b.buf_words, dtype=np.uint32)
+        self._buf[b.total_words :] = IV_SENTINEL
         self._cur_word = 0
+        self._n_ivs = 0
         self._n_valid = 0
         self._n_bases = 0
 
     def _flush(self) -> PackedBatch:
         out = PackedBatch(
-            words=self._words,
-            vmask=self._vmask,
+            buf=self._buf,
             n_valid=self._n_valid,
             n_bases=self._n_bases,
+            batch=self.batch,
         )
         self.stats.batches += 1
         self._reset()
         return out
 
     def _place_segment(self, codes: np.ndarray, invalid: np.ndarray,
-                       start: int, seg_len: int) -> None:
+                       start: int, seg_len: int) -> int:
         """Pack codes[start:start+seg_len] at the current word boundary and
-        mark valid window positions fully contained in the segment."""
+        record the valid-window runs fully contained in the segment.
+
+        Returns the number of bases actually placed: seg_len normally,
+        less if the interval budget truncated the segment mid-read, 0 if
+        nothing fits (caller must flush and retry)."""
         k = self.spec.k
+        b = self.batch
         w0 = self._cur_word
+        inv = invalid[start : start + seg_len]
+        n_win = seg_len - k + 1
+        # maximal runs of valid window starts
+        if inv.any():
+            cs = np.zeros(seg_len + 1, dtype=np.int64)
+            np.cumsum(inv, out=cs[1:])
+            ok = (cs[k : k + n_win] - cs[:n_win]) == 0
+            d = np.diff(ok.astype(np.int8), prepend=np.int8(0),
+                        append=np.int8(0))
+            runs_s = np.flatnonzero(d == 1)
+            runs_e = np.flatnonzero(d == -1)
+        elif n_win > 0:
+            runs_s = np.zeros(1, dtype=np.int64)
+            runs_e = np.full(1, n_win, dtype=np.int64)
+        else:
+            runs_s = runs_e = np.zeros(0, dtype=np.int64)
+
+        avail = b.max_intervals - self._n_ivs
+        if len(runs_s) > avail:
+            # interval budget: place everything before the first run that
+            # doesn't fit (its windows stay with the read's continuation)
+            placed_win = int(runs_s[avail])
+            if placed_win == 0:
+                return 0
+            runs_s, runs_e = runs_s[:avail], runs_e[:avail]
+            seg_len = placed_win + k - 1
+
         seg = codes[start : start + seg_len].astype(np.uint32)
         seg_words = (seg_len + BASES_PER_WORD - 1) // BASES_PER_WORD
         padded = np.zeros(seg_words * BASES_PER_WORD, dtype=np.uint32)
         padded[:seg_len] = seg
         lanes = padded.reshape(seg_words, BASES_PER_WORD)
         shifts = (2 * np.arange(BASES_PER_WORD, dtype=np.uint32))[None, :]
-        self._words[w0 : w0 + seg_words] = np.bitwise_or.reduce(
+        self._buf[w0 : w0 + seg_words] = np.bitwise_or.reduce(
             lanes << shifts, axis=1
         )
 
-        # window validity: start i in [0, seg_len-k], no invalid base inside
-        inv = invalid[start : start + seg_len]
-        n_win = seg_len - k + 1
-        if inv.any():
-            cs = np.zeros(seg_len + 1, dtype=np.int64)
-            np.cumsum(inv, out=cs[1:])
-            ok = (cs[k : k + n_win] - cs[:n_win]) == 0
-            idx = np.nonzero(ok)[0].astype(np.int64)
-        else:
-            idx = np.arange(n_win, dtype=np.int64)
-        if idx.size:
-            gpos = w0 * BASES_PER_WORD + idx  # global window position
-            np.bitwise_or.at(
-                self._vmask,
-                gpos >> 5,
-                (np.uint32(1) << (gpos & 31).astype(np.uint32)),
-            )
-        self._n_valid += int(idx.size)
-        self.stats.windows += int(idx.size)
+        if len(runs_s):
+            gbase = w0 * BASES_PER_WORD
+            tw, m = b.total_words, b.max_intervals
+            i0 = self._n_ivs
+            n_runs = len(runs_s)
+            self._buf[tw + i0 : tw + i0 + n_runs] = gbase + runs_s
+            self._buf[tw + m + i0 : tw + m + i0 + n_runs] = gbase + runs_e
+            self._n_ivs += n_runs
+            n_here = int((runs_e - runs_s).sum())
+            self._n_valid += n_here
+            self.stats.windows += n_here
         self._n_bases += seg_len
         self._cur_word += seg_words
+        return seg_len
 
     def feed(self, seq: str | bytes) -> Iterator[PackedBatch]:
         """Pack one read; yield any batches that filled up along the way."""
@@ -150,10 +223,13 @@ class ReadPacker:
                 yield self._flush()
                 continue
             seg_len = min(n - start, avail_bases)
-            self._place_segment(codes, invalid, start, seg_len)
-            if start + seg_len >= n:
+            placed = self._place_segment(codes, invalid, start, seg_len)
+            if placed == 0:  # interval budget exhausted: early flush
+                yield self._flush()
+                continue
+            if start + placed >= n:
                 break
-            start = start + seg_len - (k - 1)
+            start = start + placed - (k - 1)
         if self._cur_word >= cap:
             yield self._flush()
 

@@ -71,3 +71,51 @@ def expand_vmask(vmask: jax.Array, batch: BatchSpec) -> jax.Array:
     sh = jnp.arange(32, dtype=jnp.uint32)[None, :]
     bits = (vmask[:, None] >> sh) & jnp.uint32(1)
     return bits.reshape(batch.positions).astype(jnp.bool_)
+
+
+def _ones_below(n: jax.Array) -> jax.Array:
+    """uint32 mask with the `n` lowest bits set, for n int32 in [0, 32]
+    (shift-by-32 is undefined, so 32 is a select)."""
+    nn = jnp.clip(n, 0, 31).astype(jnp.uint32)
+    m = (jnp.uint32(1) << nn) - jnp.uint32(1)
+    return jnp.where(n >= 32, jnp.uint32(0xFFFFFFFF), m)
+
+
+def intervals_to_valid(ivs: jax.Array, batch: BatchSpec) -> jax.Array:
+    """Interval-coded validity -> bool[positions], on device.
+
+    ivs: uint32[2 * max_intervals] = [starts | ends]: sorted disjoint
+    [start, end) runs of valid window positions; unused slots hold the
+    sentinel 0xFFFFFFFF (sorts last, decodes to an empty mask).
+
+    Expansion is word-granular: for each 32-position word, a vectorized
+    searchsorted finds the last interval starting at or before the word's
+    top position, and the J = 32//k + 2 preceding intervals are OR-ed as
+    clipped bit ranges.  J is a static bound: valid runs are separated by
+    at least k-1 invalid positions (a segment's last k-1 window starts, or
+    the k windows an N base kills), so run starts are >= k apart and at
+    most 32/k + 1 runs touch one word.  ~W*(log2(M)+J) VPU ops total —
+    three orders of magnitude fewer H2D bytes than the dense mask it
+    replaces for typical read lengths.
+    """
+    m = batch.max_intervals
+    starts = ivs[:m]
+    ends = ivs[m : 2 * m]
+    w = batch.vmask_words
+    base = jnp.arange(w, dtype=jnp.int32) * 32
+    hi_pos = (base + 31).astype(jnp.uint32)
+    idx = (
+        jnp.searchsorted(starts, hi_pos, side="right").astype(jnp.int32) - 1
+    )
+    # int32 view: real positions < 2^31 so order is preserved, and the
+    # sentinel becomes -1, whose clipped range [0, 0) is empty
+    starts_i = starts.astype(jnp.int32)
+    ends_i = ends.astype(jnp.int32)
+    word = jnp.zeros((w,), jnp.uint32)
+    n_cand = 32 // batch.spec.k + 2
+    for j in range(n_cand):
+        i = jnp.clip(idx - j, 0, m - 1)
+        lo = jnp.clip(starts_i[i] - base, 0, 32)
+        hi = jnp.clip(ends_i[i] - base, 0, 32)
+        word = word | (_ones_below(hi) & ~_ones_below(lo))
+    return expand_vmask(word, batch)

@@ -87,13 +87,6 @@ def count_file_distributed(counter, path: str | Path,
 
 
 def _empty_batch(batch_spec):
-    import numpy as np
-
     from tsxcount_tpu.io.packer import PackedBatch
 
-    return PackedBatch(
-        words=np.zeros(batch_spec.total_words, np.uint32),
-        vmask=np.zeros(batch_spec.vmask_words, np.uint32),
-        n_valid=0,
-        n_bases=0,
-    )
+    return PackedBatch.empty(batch_spec)

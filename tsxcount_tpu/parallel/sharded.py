@@ -339,15 +339,9 @@ class ShardedKmerCounter:
                 self._pending = group
                 break
             while len(group) < n_local:
-                group.append(
-                    dataclasses.replace(
-                        group[0],
-                        words=np.zeros_like(group[0].words),
-                        vmask=np.zeros_like(group[0].vmask),
-                        n_valid=0,
-                        n_bases=0,
-                    )
-                )
+                from tsxcount_tpu.io.packer import PackedBatch
+
+                group.append(PackedBatch.empty(group[0].batch))
             words = self._to_global(np.stack([g.words for g in group]))
             vmask = self._to_global(np.stack([g.vmask for g in group]))
             self.state, spill = self._step(self.state, words, vmask)
