@@ -88,34 +88,55 @@ def intervals_to_valid(ivs: jax.Array, batch: BatchSpec) -> jax.Array:
     [start, end) runs of valid window positions; unused slots hold the
     sentinel 0xFFFFFFFF (sorts last, decodes to an empty mask).
 
-    Expansion is word-granular: for each 32-position word, a vectorized
-    searchsorted finds the last interval starting at or before the word's
-    top position, and the J = 32//k + 2 preceding intervals are OR-ed as
-    clipped bit ranges.  J is a static bound: valid runs are separated by
-    at least k-1 invalid positions (a segment's last k-1 window starts, or
-    the k windows an N base kills), so run starts are >= k apart and at
-    most 32/k + 1 runs touch one word.  ~W*(log2(M)+J) VPU ops total —
-    three orders of magnitude fewer H2D bytes than the dense mask it
-    replaces for typical read lengths.
+    Expansion is word-granular and GATHER-FREE (TPU gathers are slow; a
+    searchsorted formulation cost ~45 ms/batch at bench shapes): merge the
+    interval starts with each 32-position word's top position in ONE sort,
+    then carry each interval's [start, end) forward to the words after it
+    with running maxima (interval starts AND ends are both ascending, so
+    last-seen == max-so-far).  A word may straddle up to J = 32//k + 2
+    runs (a static bound: valid runs are separated by at least k-1 invalid
+    positions — a segment's last k-1 window starts, or the k windows an N
+    base kills — so run starts are >= k apart), so J shifted copies of the
+    payloads ride the same sort and each contributes a clipped bit range.
+    A second 2-column sort restores word order.  Both sorts are ~(W + M)
+    rows — a few percent of the batch's dedupe sort.
     """
     m = batch.max_intervals
     starts = ivs[:m]
     ends = ivs[m : 2 * m]
     w = batch.vmask_words
-    base = jnp.arange(w, dtype=jnp.int32) * 32
-    hi_pos = (base + 31).astype(jnp.uint32)
-    idx = (
-        jnp.searchsorted(starts, hi_pos, side="right").astype(jnp.int32) - 1
-    )
-    # int32 view: real positions < 2^31 so order is preserved, and the
-    # sentinel becomes -1, whose clipped range [0, 0) is empty
-    starts_i = starts.astype(jnp.int32)
-    ends_i = ends.astype(jnp.int32)
-    word = jnp.zeros((w,), jnp.uint32)
+    hi_pos = jnp.arange(w, dtype=jnp.uint32) * 32 + 31
     n_cand = 32 // batch.spec.k + 2
+    # packed merge key: (position << 1) | is_word — a start ties BEFORE the
+    # word whose top position it equals (searchsorted 'right' semantics).
+    # Real positions are < 2^31 so the shift is lossless; the 0xFFFFFFFF
+    # sentinel maps to 0xFFFFFFFE, still after every word key.
+    key = jnp.concatenate([starts << 1, (hi_pos << 1) | jnp.uint32(1)])
+    word_id = jnp.concatenate([
+        jnp.full((m,), w, jnp.int32), jnp.arange(w, dtype=jnp.int32)
+    ])
+    zero_w = jnp.zeros((w,), jnp.uint32)
+    pays = []
     for j in range(n_cand):
-        i = jnp.clip(idx - j, 0, m - 1)
-        lo = jnp.clip(starts_i[i] - base, 0, 32)
-        hi = jnp.clip(ends_i[i] - base, 0, 32)
-        word = word | (_ones_below(hi) & ~_ones_below(lo))
-    return expand_vmask(word, batch)
+        if j:
+            pad = jnp.zeros((j,), jnp.uint32)
+            s_j = jnp.concatenate([pad, starts[: m - j]])
+            e_j = jnp.concatenate([pad, ends[: m - j]])
+        else:
+            s_j, e_j = starts, ends
+        pays.append(jnp.concatenate([s_j, zero_w]))
+        pays.append(jnp.concatenate([e_j, zero_w]))
+    sorted_all = jax.lax.sort((key, word_id) + tuple(pays), num_keys=1)
+    wid_s = sorted_all[1]
+    base = wid_s * 32  # for interval rows this is w*32: discarded below
+    mask = jnp.zeros_like(key)
+    for j in range(n_cand):
+        # running max == latest interval's j-th predecessor (payloads of
+        # word rows are 0 and never win); clip to this word's bit range
+        cs = jax.lax.cummax(sorted_all[2 + 2 * j]).astype(jnp.int32)
+        ce = jax.lax.cummax(sorted_all[3 + 2 * j]).astype(jnp.int32)
+        lo = jnp.clip(cs - base, 0, 32)
+        hi = jnp.clip(ce - base, 0, 32)
+        mask = mask | (_ones_below(hi) & ~_ones_below(lo))
+    word_mask = jax.lax.sort((wid_s, mask), num_keys=1)[1][:w]
+    return expand_vmask(word_mask, batch)

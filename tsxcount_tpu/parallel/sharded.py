@@ -41,7 +41,7 @@ from tsxcount_tpu.io.packer import ReadPacker
 from tsxcount_tpu.ops.canonical import canonicalize
 from tsxcount_tpu.ops.count import count_unique
 from tsxcount_tpu.ops.gf2 import DEFAULT_SEED, GF2Hash
-from tsxcount_tpu.ops.window import expand_vmask, extract_kmers
+from tsxcount_tpu.ops.window import extract_kmers, intervals_to_valid
 from tsxcount_tpu.parallel.mesh import SHARD_AXIS, make_shard_mesh
 from tsxcount_tpu.utils.goldenfile import read_golden
 from tsxcount_tpu.utils.sequence import kmers_to_strings, strings_to_kmers
@@ -182,14 +182,15 @@ class ShardedKmerCounter:
         canonical = self.canonical
         lanes = spec.lanes
 
-        def local_step(state: StoreState, words, vmask):
-            # local slices keep a singleton leading shard axis; drop it
-            words = words[0]
-            vmask = vmask[0]
+        def local_step(state: StoreState, buf):
+            # local slices keep a singleton leading shard axis; drop it.
+            # buf = [words | validity intervals] (one H2D buffer per shard)
+            buf = buf[0]
+            words = buf[: batch.total_words]
             kmers = extract_kmers(words, batch)
             if canonical:
                 kmers = canonicalize(kmers, spec)
-            valid = expand_vmask(vmask, batch)
+            valid = intervals_to_valid(buf[batch.total_words :], batch)
             uc = count_unique(kmers, valid, spec=spec)
             p = uc.keys.shape[0]
 
@@ -259,17 +260,16 @@ class ShardedKmerCounter:
             total_spill = jax.lax.psum(spill[None], SHARD_AXIS)
             return _wrap_scalars(new_state), total_spill
 
-        def step(state, words_stacked, vmask_stacked):
+        def step(state, buf_stacked):
             return shard_map(
                 local_step,
                 mesh=self.mesh,
                 in_specs=(
                     _state_specs(self._state_cls),
                     P(SHARD_AXIS),
-                    P(SHARD_AXIS),
                 ),
                 out_specs=(_state_specs(self._state_cls), P()),
-            )(state, words_stacked, vmask_stacked)
+            )(state, buf_stacked)
 
         return step
 
@@ -342,9 +342,8 @@ class ShardedKmerCounter:
                 from tsxcount_tpu.io.packer import PackedBatch
 
                 group.append(PackedBatch.empty(group[0].batch))
-            words = self._to_global(np.stack([g.words for g in group]))
-            vmask = self._to_global(np.stack([g.vmask for g in group]))
-            self.state, spill = self._step(self.state, words, vmask)
+            buf = self._to_global(np.stack([g.buf for g in group]))
+            self.state, spill = self._step(self.state, buf)
             self.batches_processed += self.n_shards
             spill = int(np.asarray(jax.device_get(spill)).sum())
             if spill:
