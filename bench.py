@@ -114,17 +114,26 @@ def main() -> int:
     distinct = counter.distinct
     cold = time.perf_counter() - t0
 
-    # steady-state passes (same jitted step, same shapes); report the best
-    warm = float("inf")
+    # fresh-store warm passes: empty the store (compiled programs kept) and
+    # count again — the honest steady-state number (no re-count into an
+    # already-populated store); report the best of `passes`
+    fresh = float("inf")
     for _ in range(max(1, args.passes)):
+        counter.reset()
         t0 = time.perf_counter()
         counter.count_file(bench_fastq)
         distinct2 = counter.distinct  # completion fence
-        warm = min(warm, time.perf_counter() - t0)
+        fresh = min(fresh, time.perf_counter() - t0)
         assert distinct2 == distinct
     kmers = counter.packer.stats.windows  # windows of the last pass
 
-    kmers_per_s = kmers / warm
+    # re-count pass (store already populated; legacy r01 steady-state probe)
+    t0 = time.perf_counter()
+    counter.count_file(bench_fastq)
+    _ = counter.distinct  # completion fence
+    recount = time.perf_counter() - t0
+
+    kmers_per_s = kmers / fresh
     baseline = load_measured_baseline()
     result = {
         "metric": f"kmers_per_second_k{args.k}",
@@ -138,7 +147,9 @@ def main() -> int:
         "platform": jax.default_backend(),
         "total_kmers": kmers,
         "distinct_kmers": distinct,
-        "steady_state_seconds": round(warm, 3),
+        "fresh_warm_seconds": round(fresh, 3),
+        "recount_seconds": round(recount, 3),
+        "recount_kmers_per_s": round(kmers / recount),
         "cold_seconds": round(cold, 3),
     }
     print(json.dumps(result))

@@ -115,14 +115,15 @@ def cmd_count(args: argparse.Namespace) -> int:
         lsm=args.lsm,
         lsm_growth=args.lsm_growth,
     )
-    if args.shards > 1:
-        from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
-
-        counter = ShardedKmerCounter(n_shards=args.shards, **kwargs)
-    elif args.load_state:
+    if args.load_state:
+        # the checkpoint's own shape (shards/backend/k/l) wins over flags
         from tsxcount_tpu.core.checkpoint import load_counter
 
         counter = load_counter(args.load_state, batch_words=args.batch_words)
+    elif args.shards > 1:
+        from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
+
+        counter = ShardedKmerCounter(n_shards=args.shards, **kwargs)
     else:
         counter = KmerCounter(**kwargs)
 

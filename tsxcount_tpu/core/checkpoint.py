@@ -5,6 +5,10 @@ consumed by --check (SURVEY.md §5 — `getAllKmers` is the only export).  Here
 the full counter state (store/table arrays + hash matrix + config + ingest
 stats) round-trips through one .npz file, so long counting jobs can stop and
 resume, and count tables can be shipped between machines.
+
+Both counter classes round-trip: `KmerCounter` (single chip, either backend,
+flat or LSM store) and `ShardedKmerCounter` (the per-shard states are saved
+as the stacked global arrays and re-sharded over the mesh on load).
 """
 
 from __future__ import annotations
@@ -16,11 +20,15 @@ from pathlib import Path
 import jax
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2 adds sharded states + canonical/merge knobs; v1 loads
+
+
+def _is_sharded(counter) -> bool:
+    return hasattr(counter, "n_shards")
 
 
 def save_counter(counter, path: str | Path) -> None:
-    """Serialize a KmerCounter (either backend) to an .npz file."""
+    """Serialize a KmerCounter or ShardedKmerCounter to an .npz file."""
     meta = {
         "format": FORMAT_VERSION,
         "k": counter.spec.k,
@@ -29,60 +37,128 @@ def save_counter(counter, path: str | Path) -> None:
         "backend": counter.backend,
         "n_policy": counter.n_policy,
         "identity_hash": counter.hash_fn.identity,
+        "canonical": counter.canonical,
         "stats": dataclasses.asdict(counter.packer.stats),
         "batches_processed": counter.batches_processed,
         "lsm": getattr(counter, "lsm", False),
+        "lsm_growth": getattr(counter, "lsm_growth", 8),
+        "merge_every": getattr(counter, "merge_every", 1),
+        "n_shards": getattr(counter, "n_shards", 0),  # 0 = unsharded
+        "max_reprobes": (
+            counter.table.max_reprobes
+            if counter.backend == "table" else 0
+        ),
     }
-    counter._flush_pending()
-    counter._collapse_if_lsm()  # LSM: everything lands in the top level
-    state = counter.state[-1] if meta["lsm"] else counter.state
-    arrays = {
-        f"state_{name}": np.asarray(jax.device_get(val))
-        for name, val in state._asdict().items()
-    }
+    if _is_sharded(counter):
+        counter.flush()  # drain pending batches so state is authoritative
+        arrays = {
+            f"state_{name}": counter._gather(val)
+            for name, val in counter.state._asdict().items()
+        }
+    else:
+        counter._flush_pending()
+        counter._collapse_if_lsm()  # LSM: everything lands in the top level
+        state = counter.state[-1] if meta["lsm"] else counter.state
+        arrays = {
+            f"state_{name}": np.asarray(jax.device_get(val))
+            for name, val in state._asdict().items()
+        }
     arrays["hash_matrix"] = counter.hash_fn.matrix
     arrays["hash_inverse"] = counter.hash_fn.inverse
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
 
-def load_counter(path: str | Path, batch_words: int = 1 << 16):
-    """Rebuild a KmerCounter from an .npz checkpoint; counting can resume."""
-    from tsxcount_tpu.core.counter import KmerCounter
+def _restore_hash(counter, data) -> None:
+    """Restore the exact hash matrix (layout-defining for table backend)."""
+    import jax.numpy as jnp
+
+    counter.hash_fn.matrix = data["hash_matrix"]
+    counter.hash_fn.inverse = data["hash_inverse"]
+    counter.hash_fn._mat_t = jnp.asarray(counter.hash_fn.matrix.T,
+                                         dtype=jnp.int8)
+    counter.hash_fn._inv_t = jnp.asarray(counter.hash_fn.inverse.T,
+                                         dtype=jnp.int8)
+
+
+def load_counter(path: str | Path, batch_words: int = 1 << 16,
+                 devices=None):
+    """Rebuild a (Sharded)KmerCounter from an .npz checkpoint and resume.
+
+    The checkpoint's own shape (shards, backend, k, l, ...) wins; only the
+    ingest batch size is caller-tunable (it is not part of the state).
+    """
     from tsxcount_tpu.io.packer import PackStats
 
     with np.load(path, allow_pickle=False) as data:
         meta = json.loads(str(data["meta"]))
-        if meta["format"] != FORMAT_VERSION:
+        if meta["format"] > FORMAT_VERSION:
             raise ValueError(f"unsupported checkpoint format {meta['format']}")
-        counter = KmerCounter(
-            k=meta["k"], l=meta["l"], s=meta["s"], backend=meta["backend"],
-            batch_words=batch_words, n_policy=meta["n_policy"],
-            identity_hash=meta["identity_hash"],
-            lsm=meta.get("lsm", False),
-        )
-        # restore the exact hash matrix (layout-defining for table backend)
-        counter.hash_fn.matrix = data["hash_matrix"]
-        counter.hash_fn.inverse = data["hash_inverse"]
-        import jax.numpy as jnp
-
-        counter.hash_fn._mat_t = jnp.asarray(
-            counter.hash_fn.matrix.T, dtype=jnp.int8
-        )
-        counter.hash_fn._inv_t = jnp.asarray(
-            counter.hash_fn.inverse.T, dtype=jnp.int8
-        )
-        ref_state = counter.state[-1] if counter.lsm else counter.state
-        state_cls = type(ref_state)
-        loaded = state_cls(
-            **{
-                name: jnp.asarray(data[f"state_{name}"])
-                for name in ref_state._fields
-            }
-        )
-        if counter.lsm:
-            counter.state = counter.state[:-1] + [loaded]
+        if meta.get("n_shards", 0):
+            counter = _load_sharded(meta, data, batch_words, devices)
         else:
-            counter.state = loaded
+            counter = _load_single(meta, data, batch_words)
         counter.packer.stats = PackStats(**meta["stats"])
         counter.batches_processed = meta["batches_processed"]
+    return counter
+
+
+def _load_single(meta, data, batch_words):
+    from tsxcount_tpu.core.counter import KmerCounter
+
+    import jax.numpy as jnp
+
+    counter = KmerCounter(
+        k=meta["k"], l=meta["l"], s=meta["s"], backend=meta["backend"],
+        batch_words=batch_words, n_policy=meta["n_policy"],
+        identity_hash=meta["identity_hash"],
+        canonical=meta.get("canonical", False),
+        lsm=meta.get("lsm", False),
+        lsm_growth=meta.get("lsm_growth", 8),
+        merge_every=meta.get("merge_every", 4),
+    )
+    _restore_hash(counter, data)
+    ref_state = counter.state[-1] if counter.lsm else counter.state
+    state_cls = type(ref_state)
+    loaded = state_cls(
+        **{
+            name: jnp.asarray(data[f"state_{name}"])
+            for name in ref_state._fields
+        }
+    )
+    if counter.lsm:
+        counter.state = counter.state[:-1] + [loaded]
+    else:
+        counter.state = loaded
+    return counter
+
+
+def _load_sharded(meta, data, batch_words, devices):
+    """Rebuild a ShardedKmerCounter; state arrays re-shard over the mesh.
+
+    Single-controller restore: every process must see the full checkpoint
+    file (multi-host jobs resume by loading the same file on each host).
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from tsxcount_tpu.parallel.mesh import SHARD_AXIS
+    from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
+
+    counter = ShardedKmerCounter(
+        k=meta["k"], n_shards=meta["n_shards"], l=meta["l"], s=meta["s"],
+        backend=meta["backend"], batch_words=batch_words,
+        n_policy=meta["n_policy"], identity_hash=meta["identity_hash"],
+        canonical=meta.get("canonical", False),
+        max_reprobes=meta.get("max_reprobes") or 64,
+        devices=devices,
+    )
+    _restore_hash(counter, data)
+    state_cls = type(counter.state)
+    sharding = NamedSharding(counter.mesh, P(SHARD_AXIS))
+    counter.state = state_cls(
+        **{
+            name: jax.device_put(data[f"state_{name}"], sharding)
+            for name in counter.state._fields
+        }
+    )
     return counter

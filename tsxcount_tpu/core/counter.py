@@ -226,6 +226,23 @@ class KmerCounter:
             return lambda state, q: self.store.lookup(state, q)
         return lambda state, q: self.table.lookup(state, q)
 
+    def reset(self) -> None:
+        """Clear all counts/ingest stats but keep the compiled device
+        programs — a fresh store at steady-state cost (bench fresh-pass
+        and reuse without paying jit again)."""
+        if self.backend == "sort":
+            self.state = self.store.init_state()
+            if self.lsm:
+                self.store.reset_schedule()
+            self._pending_uc = []
+        else:
+            self.state = self.table.init_state()
+        self.packer = ReadPacker(
+            self.batch, n_policy=self.n_policy, seed=self.seed
+        )
+        self.batches_processed = 0
+        self.elapsed = 0.0
+
     # --- ingestion ---
 
     def _consume(self, batches: Iterator[PackedBatch]) -> None:

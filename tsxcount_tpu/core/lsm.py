@@ -63,6 +63,10 @@ class LSMStore:
     def init_state(self) -> list[StoreState]:
         return [lvl.init_state() for lvl in self.levels]
 
+    def reset_schedule(self) -> None:
+        """Restart the host-side cascade counter (fresh-state reuse)."""
+        self._flushes = 0
+
     @property
     def capacity(self) -> int:
         return self.levels[-1].capacity

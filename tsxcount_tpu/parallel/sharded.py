@@ -359,9 +359,14 @@ class ShardedKmerCounter:
                 self._pending.append(pb)
                 self._dispatch_pending()
 
-    def finish(self) -> None:
+    def flush(self) -> None:
+        """Drain all pending host batches into device state (used before
+        checkpointing; finish() adds the capacity checks on top)."""
         self._pending.extend(self.packer.finish())
         self._dispatch_pending(force=True)
+
+    def finish(self) -> None:
+        self.flush()
         jax.block_until_ready(self.state)
         if self.backend == "table":
             spilled = int(np.sum(self._gather(self.state.spilled)))
