@@ -44,7 +44,27 @@ def worker_main() -> int:
     counter = ShardedKmerCounter(
         k=9, n_shards=nproc, l=15, batch_words=64
     )
-    count_file_distributed(counter, fastq, stride=7)
+    mode = count_file_distributed(counter, fastq, stride=7)
+    # byte-range splitting: each host must have parsed only ~1/N of the
+    # records (never all of them), and the host shares must partition the
+    # file exactly
+    from jax.experimental import multihost_utils as mhu
+
+    import numpy as np
+
+    total_reads = int(os.environ["SMOKE_READS"])
+    local_reads = counter.packer.stats.reads
+    all_reads = np.asarray(mhu.process_allgather(
+        np.asarray([local_reads], np.int64))).reshape(-1)
+    assert int(all_reads.sum()) == total_reads, (all_reads, total_reads)
+    if mode == "range" and nproc > 1:
+        assert local_reads < total_reads, (
+            f"host {pid} parsed every record ({local_reads}) despite "
+            f"byte-range mode"
+        )
+    if pid == 0:
+        print(f"worker0: input mode={mode}, per-host reads="
+              f"{all_reads.tolist()} (total {total_reads})")
     # stats require cross-process reads of non-addressable shards; use
     # process_allgather for the distinct total
     from jax.experimental import multihost_utils
@@ -102,6 +122,7 @@ def main() -> int:
         "SMOKE_NPROC": str(args.workers),
         "SMOKE_FASTQ": str(fastq),
         "SMOKE_GOLDEN": str(golden_path),
+        "SMOKE_READS": str(len(reads)),
         "SMOKE_WORKER": "1",
     }
     procs = []

@@ -30,7 +30,9 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <string>
+#include <utility>
 #include <vector>
 
 #include <zlib.h>
@@ -73,9 +75,21 @@ struct Handle {
   bool eof = false;
   std::string error;
 
+  // byte-range parsing (plain files only): this handle owns records whose
+  // header byte offset is in (range_skip, range_end]; range_end < 0 = to
+  // EOF.  Ownership rule matches the reference-style chunked FASTQ
+  // discipline: the reader seeked to offset s discards the line containing
+  // s (a record starting exactly at s belongs to the previous chunk, whose
+  // stop condition is offset > its end).
+  int64_t range_end = -1;
+
   // line buffer
   std::vector<char> buf;
   size_t buf_pos = 0, buf_len = 0;
+  int64_t consumed_total = 0;  // bytes pulled from the file so far
+
+  // lines pushed back during range resync: (text, byte offset)
+  std::deque<std::pair<std::string, int64_t>> pending;
 
   // current read being packed: 2-bit codes + validity run lengths
   std::vector<uint8_t> codes;
@@ -83,9 +97,14 @@ struct Handle {
   size_t start = 0;          // next unpacked offset within codes
   bool have_read = false;
   std::string fasta_carry;   // next FASTA header already consumed
+  int64_t fasta_carry_off = 0;
 
   // stats (mirrors PackStats)
   int64_t reads = 0, reads_skipped = 0, bases = 0, n_bases = 0, windows = 0;
+
+  int64_t cur_offset() const {
+    return consumed_total - (int64_t)(buf_len - buf_pos);
+  }
 
   bool fill() {
     if (buf.empty()) buf.resize(1 << 20);
@@ -97,6 +116,7 @@ struct Handle {
     }
     buf_pos = 0;
     buf_len = (size_t)n;
+    consumed_total += n;
     return n > 0;
   }
 
@@ -119,6 +139,71 @@ struct Handle {
       }
       out.append(base, avail);
       buf_pos = buf_len;
+    }
+  }
+
+  // getline with the line's start offset, honoring resync push-backs
+  bool next_line(std::string &out, int64_t *off) {
+    if (!pending.empty()) {
+      out = std::move(pending.front().first);
+      *off = pending.front().second;
+      pending.pop_front();
+      return true;
+    }
+    *off = cur_offset();
+    return getline(out);
+  }
+
+  // Position the parser at the first record owned by (skip, range_end].
+  // Called once after seeking to `skip`: discards the line containing the
+  // seek point, then scans to a record boundary (FASTA: a '>' line; FASTQ:
+  // a line L starting '@' with L+2 starting '+', which disambiguates
+  // '@'-leading quality lines because sequence lines never start with '+').
+  bool resync() {
+    std::string line;
+    int64_t off;
+    if (!getline(line)) {  // partial line at the seek point
+      eof = true;
+      return true;
+    }
+    if (is_fasta) {
+      for (;;) {
+        off = cur_offset();
+        if (!getline(line)) {
+          eof = true;
+          return true;
+        }
+        if (!line.empty() && line[0] == '>') {
+          if (range_end >= 0 && off > range_end) {
+            eof = true;
+            return true;
+          }
+          pending.emplace_back(std::move(line), off);
+          return true;
+        }
+      }
+    }
+    // FASTQ: keep a 3-line lookahead window
+    std::deque<std::pair<std::string, int64_t>> win;
+    for (;;) {
+      while (win.size() < 3) {
+        off = cur_offset();
+        if (!getline(line)) {
+          eof = true;
+          return true;
+        }
+        win.emplace_back(std::move(line), off);
+      }
+      if (!win[0].first.empty() && win[0].first[0] == '@' &&
+          !win[2].first.empty() && win[2].first[0] == '+') {
+        if (range_end >= 0 && win[0].second > range_end) {
+          eof = true;
+          return true;
+        }
+        pending = std::move(win);
+        return true;
+      }
+      win.pop_front();
     }
   }
 
@@ -158,23 +243,33 @@ struct Handle {
     }
   }
 
-  // parse the next record into codes/run; false on EOF or error
+  // parse the next record into codes/run; false on EOF, range end, or error
   bool next_record() {
     std::string line, seq;
+    int64_t off;
     if (is_fasta) {
-      if (!fasta_carry.empty() || getline(line)) {
-        // line may hold the header if no carry
-        if (!fasta_carry.empty()) line = std::move(fasta_carry);
+      bool have_line;
+      if (!fasta_carry.empty()) {
+        line = std::move(fasta_carry);
+        off = fasta_carry_off;
         fasta_carry.clear();
+        have_line = true;
+      } else {
+        have_line = next_line(line, &off);
+      }
+      if (have_line) {
         if (line.empty() || line[0] != '>') {
           error = "malformed FASTA header";
           return false;
         }
+        if (range_end >= 0 && off > range_end) return false;  // next chunk's
         for (;;) {
           std::string l2;
-          if (!getline(l2)) break;
+          int64_t off2;
+          if (!next_line(l2, &off2)) break;
           if (!l2.empty() && l2[0] == '>') {
             fasta_carry = std::move(l2);
+            fasta_carry_off = off2;
             break;
           }
           seq += l2;
@@ -185,18 +280,20 @@ struct Handle {
       return false;
     }
     // FASTQ: 4-line records
-    if (!getline(line)) return false;
+    if (!next_line(line, &off)) return false;
     if (line.empty()) return false;
     if (line[0] != '@') {
       error = "malformed FASTQ record (missing @)";
       return false;
     }
-    if (!getline(seq)) {
+    if (range_end >= 0 && off > range_end) return false;  // next chunk's
+    if (!next_line(seq, &off)) {
       error = "truncated FASTQ record";
       return false;
     }
     std::string plus, qual;
-    if (!getline(plus) || plus.empty() || plus[0] != '+' || !getline(qual)) {
+    if (!next_line(plus, &off) || plus.empty() || plus[0] != '+' ||
+        !next_line(qual, &off)) {
       error = "truncated FASTQ record";
       return false;
     }
@@ -272,11 +369,21 @@ size_t place_segment(Handle *h, uint32_t *words, uint32_t *iv_s,
 
 extern "C" {
 
-void *fxp_open(const char *path, int k, int n_policy, uint64_t seed) {
+// Open a byte range [byte_start, byte_end) of the file; the handle yields
+// exactly the records owned by that range (see Handle::range_end ownership
+// rule), so N readers on a partition of [0, filesize) together parse every
+// record exactly once — the chunked-reader analog of the reference's
+// FASTXreader task loop (reference src/mains/main.cpp:132-218), and the
+// multi-host input-splitting primitive.  byte_end < 0 = to EOF.  Ranges
+// with byte_start > 0 or byte_end >= 0 require an UNCOMPRESSED file
+// (gzip streams cannot seek); such opens on gzip data return nullptr.
+void *fxp_open_range(const char *path, int k, int n_policy, uint64_t seed,
+                     int64_t byte_start, int64_t byte_end) {
   Handle *h = new Handle();
   h->k = k;
   h->n_policy = n_policy;
   h->rng = Rng(seed);
+  h->range_end = byte_end;
   h->file = gzopen(path, "rb");
   if (!h->file) {
     delete h;
@@ -286,11 +393,31 @@ void *fxp_open(const char *path, int k, int n_policy, uint64_t seed) {
   int first = gzgetc(h->file);
   if (first < 0) {
     h->eof = true;
-  } else {
-    gzungetc(first, h->file);
-    h->is_fasta = (first == '>');
+    return h;
+  }
+  gzungetc(first, h->file);
+  h->is_fasta = (first == '>');
+  bool ranged = byte_start > 0 || byte_end >= 0;
+  if (ranged && !gzdirect(h->file)) {  // compressed: cannot seek
+    gzclose(h->file);
+    delete h;
+    return nullptr;
+  }
+  if (byte_start > 0) {
+    if (gzseek(h->file, (z_off_t)byte_start, SEEK_SET) < 0) {
+      gzclose(h->file);
+      delete h;
+      return nullptr;
+    }
+    h->consumed_total = byte_start;
+    h->buf_pos = h->buf_len = 0;
+    h->resync();
   }
   return h;
+}
+
+void *fxp_open(const char *path, int k, int n_policy, uint64_t seed) {
+  return fxp_open_range(path, k, n_policy, seed, 0, -1);
 }
 
 // Fills one batch buffer laid out as [words | iv starts | iv ends]:

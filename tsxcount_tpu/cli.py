@@ -36,8 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for reference parity; counts here are "
                         "unbounded multi-digit, no overflow chain needed")
     c.add_argument("--threads", type=int, default=0,
-                   help="host packer threads (0 = auto); accepted for "
-                        "reference CLI parity")
+                   help="host parse/pack threads (0 = auto -> 1); >1 "
+                        "byte-range-splits uncompressed input across "
+                        "threads (gzip degrades to 1)")
     c.add_argument("--mode", default="SERIAL",
                    help="reference mode string or backend name "
                         "(SERIAL/PTHREAD/OMP/CAS/TSX/EXPERIMENTAL/OMP_COUNT "
@@ -114,6 +115,7 @@ def cmd_count(args: argparse.Namespace) -> int:
         merge_every=args.merge_every,
         lsm=args.lsm,
         lsm_growth=args.lsm_growth,
+        threads=args.threads,
     )
     if args.load_state:
         # the checkpoint's own shape (shards/backend/k/l) wins over flags

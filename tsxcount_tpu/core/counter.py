@@ -103,6 +103,8 @@ class KmerCounter:
         canonical: bool = False,
         lsm: bool = False,
         lsm_growth: int = 8,
+        threads: int = 0,
+        prefetch_depth: int = 3,
     ):
         if backend in MODE_TO_BACKEND:
             backend = MODE_TO_BACKEND[backend]
@@ -117,6 +119,12 @@ class KmerCounter:
         self.n_policy = n_policy
         self.seed = seed
         self.canonical = canonical
+        # host ingest pipeline: parse threads (0 = auto -> 1) and how many
+        # packed batches may be in flight (packed + H2D started) ahead of
+        # the device step — the reader-task/counter-task overlap of the
+        # reference (main.cpp:132-218) as a bounded producer queue
+        self.threads = threads if threads > 0 else 1
+        self.prefetch_depth = max(1, prefetch_depth)
         self.hash_fn = GF2Hash(self.spec, seed=hash_seed, identity=identity_hash)
         self.lsm = False
         if backend == "sort":
@@ -245,15 +253,17 @@ class KmerCounter:
 
     # --- ingestion ---
 
-    def _consume(self, batches: Iterator[PackedBatch]) -> None:
+    @staticmethod
+    def _put(pb: PackedBatch):
+        # async H2D: device_put returns before the copy completes.  Words
+        # and validity intervals ride ONE combined buffer = one transfer
+        # per batch.  Runs on the producer thread under prefetch().
+        return jax.device_put(pb.buf)
+
+    def _consume_bufs(self, bufs) -> None:
+        """Dispatch device steps over an iterator of device buffers."""
         t0 = time.perf_counter()
-        for pb in batches:
-            # async H2D: device_put returns before the copy completes, so the
-            # next batch packs on host while this one transfers/computes —
-            # the reader-task/counter-task overlap of the reference
-            # (main.cpp:132-218) without threads.  Words and validity
-            # intervals ride ONE combined buffer = one transfer per batch.
-            buf = jax.device_put(pb.buf)
+        for buf in bufs:
             if self.backend == "sort":
                 self._pending_uc.append(self._dedupe(buf))
                 if len(self._pending_uc) >= self.merge_every:
@@ -262,6 +272,9 @@ class KmerCounter:
                 self.state = self._step(self.state, buf)
             self.batches_processed += 1
         self.elapsed += time.perf_counter() - t0
+
+    def _consume(self, batches: Iterator[PackedBatch]) -> None:
+        self._consume_bufs(self._put(pb) for pb in batches)
 
     def add_reads(self, reads: Iterable[str | bytes]) -> None:
         for seq in reads:
@@ -303,22 +316,39 @@ class KmerCounter:
         None (default) = native if buildable, else Python fallback.
         """
         from tsxcount_tpu.io.native import NativeFileReader, native_available
+        from tsxcount_tpu.io.pipeline import prefetch
 
         if use_native is None:
             use_native = native_available()
         if use_native:
             reader = NativeFileReader(
-                path, self.batch, n_policy=self.n_policy, seed=self.seed
+                path, self.batch, n_policy=self.n_policy, seed=self.seed,
+                threads=self.threads,
             )
-            self._consume(iter(reader))
+            # parse + pack + H2D on background thread(s); device dispatch
+            # on this one — the overlapped steady-state pipeline
+            self._consume_bufs(
+                prefetch(iter(reader), self._put, depth=self.prefetch_depth)
+            )
             self._flush_pending()
             # adopt the native reader's stats as the packer stats
             self.packer.stats = reader.stats
             jax.block_until_ready(self.state)
             self._check_capacity()
         else:
-            self.add_reads(rec.seq for rec in read_fastx(path))
-            self.finish()
+            packer = self.packer
+
+            def batches():
+                for rec in read_fastx(path):
+                    yield from packer.feed(rec.seq)
+                yield from packer.finish()
+
+            self._consume_bufs(
+                prefetch(batches(), self._put, depth=self.prefetch_depth)
+            )
+            self._flush_pending()
+            jax.block_until_ready(self.state)
+            self._check_capacity()
 
     # --- queries & export ---
 

@@ -4,6 +4,13 @@ Builds tsxcount_tpu/_native/libfastxpack.so lazily with g++ (no pybind11 in
 this environment; the C ABI + ctypes keeps the binding dependency-free).
 Falls back cleanly if no compiler is available — callers use
 `native_available()` and the pure-Python packer otherwise.
+
+Byte-range chunking: `fxp_open_range` parses only the records owned by a
+byte range of the file (FASTQ 4-line / FASTA resync in C++), so
+NativeFileReader can fan the parse out over N host threads (ctypes calls
+release the GIL) and multi-host jobs can split one file by offsets instead
+of every host re-parsing everything.  Ranges need uncompressed input; .gz
+falls back to one sequential stream.
 """
 
 from __future__ import annotations
@@ -65,6 +72,11 @@ def _load():
         lib.fxp_open.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
         ]
+        lib.fxp_open_range.restype = ctypes.c_void_p
+        lib.fxp_open_range.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_int64, ctypes.c_int64,
+        ]
         lib.fxp_next_batch.restype = ctypes.c_int
         lib.fxp_next_batch.argtypes = [
             ctypes.c_void_p,
@@ -91,78 +103,165 @@ def native_build_error() -> str | None:
     return _build_error
 
 
-class NativeFileReader:
-    """Streams PackedBatch objects straight from a FASTQ/FASTA(.gz) file."""
+def is_gzip(path: str | Path) -> bool:
+    with open(path, "rb") as f:
+        return f.read(2) == b"\x1f\x8b"
 
-    def __init__(self, path: str | Path, batch: BatchSpec,
-                 n_policy: str = "drop", seed: int = 0):
-        lib = _load()
-        if lib is None:
-            raise RuntimeError(
-                f"native packer unavailable: {_build_error}"
-            )
+
+def split_ranges(path: str | Path, n: int,
+                 byte_start: int = 0, byte_end: int | None = None
+                 ) -> list[tuple[int, int]]:
+    """Split [byte_start, byte_end) of a file into n contiguous ranges.
+
+    Record-boundary alignment is the native parser's job (resync), so
+    plain equal byte splits are correct.
+    """
+    size = os.path.getsize(path)
+    end = size if byte_end is None or byte_end < 0 else min(byte_end, size)
+    start = min(byte_start, end)
+    span = end - start
+    cuts = [start + span * i // n for i in range(n + 1)]
+    return [(cuts[i], cuts[i + 1]) for i in range(n)
+            if cuts[i + 1] > cuts[i]] or [(start, end)]
+
+
+class _Handle:
+    """One native parse stream over one byte range."""
+
+    def __init__(self, lib, path: str | Path, batch: BatchSpec,
+                 n_policy: str, seed: int, byte_start: int, byte_end: int):
         self._lib = lib
         self.batch = batch
-        self.stats = PackStats()
-        self._handle = lib.fxp_open(
-            str(path).encode(), batch.spec.k,
-            N_POLICY_CODES[n_policy], seed,
+        self._h = lib.fxp_open_range(
+            str(path).encode(), batch.spec.k, N_POLICY_CODES[n_policy],
+            seed, byte_start, byte_end,
         )
-        if not self._handle:
+        if not self._h:
+            if byte_start > 0 or byte_end >= 0:
+                raise ValueError(
+                    f"cannot open byte range of {path} (gzip input cannot "
+                    f"be range-split; use a single stream)"
+                )
             raise FileNotFoundError(path)
 
-    def __iter__(self):
+    def batches(self):
         lib = self._lib
         b = self.batch
         n_valid = ctypes.c_int64()
         n_bases = ctypes.c_int64()
-        try:
-            while True:
-                buf = np.empty(b.buf_words, dtype=np.uint32)
-                rc = lib.fxp_next_batch(
-                    self._handle,
-                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-                    b.total_words,
-                    b.capacity_words,
-                    b.max_intervals,
-                    ctypes.byref(n_valid),
-                    ctypes.byref(n_bases),
+        while True:
+            buf = np.empty(b.buf_words, dtype=np.uint32)
+            rc = lib.fxp_next_batch(
+                self._h,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                b.total_words,
+                b.capacity_words,
+                b.max_intervals,
+                ctypes.byref(n_valid),
+                ctypes.byref(n_bases),
+            )
+            if rc < 0:
+                raise ValueError(
+                    f"parse error: {lib.fxp_error(self._h).decode()}"
                 )
-                if rc < 0:
-                    raise ValueError(
-                        f"parse error: "
-                        f"{lib.fxp_error(self._handle).decode()}"
-                    )
-                if n_valid.value or n_bases.value:
-                    self.stats.batches += 1
-                    yield PackedBatch(
-                        buf=buf,
-                        n_valid=int(n_valid.value),
-                        n_bases=int(n_bases.value),
-                        batch=b,
-                    )
-                if rc == 0:
-                    break
+            if n_valid.value or n_bases.value:
+                yield PackedBatch(
+                    buf=buf,
+                    n_valid=int(n_valid.value),
+                    n_bases=int(n_bases.value),
+                    batch=b,
+                )
+            if rc == 0:
+                return
+
+    def stats(self) -> PackStats:
+        vals = [ctypes.c_int64() for _ in range(5)]
+        self._lib.fxp_stats(self._h, *[ctypes.byref(v) for v in vals])
+        return PackStats(
+            reads=int(vals[0].value),
+            reads_skipped=int(vals[1].value),
+            bases=int(vals[2].value),
+            n_bases=int(vals[3].value),
+            windows=int(vals[4].value),
+        )
+
+    def close(self):
+        if self._h:
+            self._lib.fxp_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeFileReader:
+    """Streams PackedBatch objects straight from a FASTQ/FASTA(.gz) file.
+
+    threads > 1 splits an uncompressed file into byte ranges parsed
+    concurrently (each ctypes call releases the GIL); batch order across
+    ranges is arrival order — counting is order-invariant.  gzip input
+    silently degrades to one stream.
+    """
+
+    def __init__(self, path: str | Path, batch: BatchSpec,
+                 n_policy: str = "drop", seed: int = 0, threads: int = 1,
+                 byte_start: int = 0, byte_end: int = -1):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native packer unavailable: {_build_error}")
+        if not Path(path).exists():
+            raise FileNotFoundError(path)
+        self.batch = batch
+        self.stats = PackStats()
+        ranged = byte_start > 0 or byte_end >= 0
+        if (threads > 1 or ranged) and is_gzip(path):
+            if ranged:
+                raise ValueError(
+                    f"byte-range input splitting needs uncompressed input "
+                    f"({path} is gzip)"
+                )
+            threads = 1
+        if threads > 1:
+            ranges = split_ranges(path, threads, byte_start, byte_end)
+        else:
+            ranges = [(byte_start, byte_end if ranged else -1)]
+        self._handles = [
+            _Handle(lib, path, batch, n_policy, seed + i, s, e)
+            for i, (s, e) in enumerate(ranges)
+        ]
+
+    def __iter__(self):
+        try:
+            if len(self._handles) == 1:
+                source = self._handles[0].batches()
+            else:
+                from tsxcount_tpu.io.pipeline import merged_iter
+
+                source = merged_iter(
+                    [h.batches() for h in self._handles],
+                    depth=2 * len(self._handles),
+                )
+            for pb in source:
+                self.stats.batches += 1
+                yield pb
         finally:
             self._finalize_stats()
 
     def _finalize_stats(self):
-        if self._handle is None:
+        if not self._handles:
             return
-        vals = [ctypes.c_int64() for _ in range(5)]
-        self._lib.fxp_stats(self._handle, *[ctypes.byref(v) for v in vals])
-        self.stats.reads = int(vals[0].value)
-        self.stats.reads_skipped = int(vals[1].value)
-        self.stats.bases = int(vals[2].value)
-        self.stats.n_bases = int(vals[3].value)
-        self.stats.windows = int(vals[4].value)
-        self._lib.fxp_close(self._handle)
-        self._handle = None
-
-    def __del__(self):
-        try:
-            if getattr(self, "_handle", None):
-                self._lib.fxp_close(self._handle)
-                self._handle = None
-        except Exception:
-            pass
+        total = PackStats()
+        for h in self._handles:
+            st = h.stats()
+            total.reads += st.reads
+            total.reads_skipped += st.reads_skipped
+            total.bases += st.bases
+            total.n_bases += st.n_bases
+            total.windows += st.windows
+            h.close()
+        total.batches = self.stats.batches
+        self.stats = total
+        self._handles = []

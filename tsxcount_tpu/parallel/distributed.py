@@ -6,10 +6,15 @@ is the "beyond the reference" scale-out path.  Design:
   * one SPMD program: `jax.distributed.initialize` then the same
     ShardedKmerCounter step over a mesh spanning every process's devices —
     XLA routes the all_to_all over ICI within a slice and DCN across hosts;
-  * input is striped by *record index*: each host parses the (shared) FASTQ
-    but packs only records where (index // stride) % n_hosts == host_id.
-    Works for gzip streams too (no seeking needed), keeps window semantics
-    exact because records never split across hosts;
+  * input splits by *byte offset*: each host opens only its 1/N byte range
+    of the (shared) file and the native parser resyncs to a record boundary
+    (FASTQ 4-line discipline, see _native/fastxpack.cpp fxp_open_range) —
+    total parse work is O(file)/host, the chunked-reader analog of the
+    reference's streaming FASTXreader (src/mains/main.cpp:132-218);
+  * gzip input (not seekable) and the no-native fallback stripe by *record
+    index* instead: each host parses everything but packs only records
+    where (index // stride) % n_hosts == host_id — N× parse work, exact
+    semantics, works on any stream;
   * per-host packed batches become the host's slice of the global batch
     array via jax.make_array_from_process_local_data.
 
@@ -52,24 +57,45 @@ def striped_records(path: str | Path, host_id: int, n_hosts: int,
             yield rec
 
 
+def host_input_mode(path: str | Path) -> str:
+    """'range' (byte-offset split, O(file)/host parse) when the native
+    reader can seek this file, else 'stripe' (record striping)."""
+    from tsxcount_tpu.io.native import is_gzip, native_available
+
+    return "range" if native_available() and not is_gzip(path) else "stripe"
+
+
 def count_file_distributed(counter, path: str | Path,
-                           stride: int = 64) -> None:
-    """Feed a ShardedKmerCounter its host-local stripe of `path`.
+                           stride: int = 64) -> str:
+    """Feed a ShardedKmerCounter its host-local share of `path`.
 
     SPMD discipline: every process must dispatch the SAME number of global
-    steps (each step contains collectives), but read stripes pack into
-    different batch counts per host.  So each host packs its stripe fully,
-    the global maximum batch count is agreed via allgather, and shorter
-    hosts pad with empty batches.  With process_count == 1 this degenerates
-    to counter.count_file.
+    steps (each step contains collectives), but per-host shares pack into
+    different batch counts.  So each host packs its share fully, the global
+    maximum batch count is agreed via allgather, and shorter hosts pad with
+    empty batches.  With process_count == 1 this degenerates to
+    counter.count_file.  Returns the input mode used ('range'/'stripe').
     """
     import numpy as np
 
     host, n_hosts = jax.process_index(), jax.process_count()
-    batches = []
-    for rec in striped_records(path, host, n_hosts, stride):
-        batches.extend(counter.packer.feed(rec.seq))
-    batches.extend(counter.packer.finish())
+    mode = host_input_mode(path)
+    if mode == "range":
+        from tsxcount_tpu.io.native import NativeFileReader, split_ranges
+
+        start, end = split_ranges(path, n_hosts)[host]
+        reader = NativeFileReader(
+            path, counter.batch, n_policy=counter.n_policy,
+            seed=counter.seed, threads=counter.threads,
+            byte_start=start, byte_end=end,
+        )
+        batches = list(reader)
+        counter.packer.stats = reader.stats  # host-local ingest stats
+    else:
+        batches = []
+        for rec in striped_records(path, host, n_hosts, stride):
+            batches.extend(counter.packer.feed(rec.seq))
+        batches.extend(counter.packer.finish())
 
     if n_hosts > 1:
         from jax.experimental import multihost_utils
@@ -84,6 +110,7 @@ def count_file_distributed(counter, path: str | Path,
     counter._pending.extend(batches)
     counter._dispatch_pending(force=True)
     counter.finish()
+    return mode
 
 
 def _empty_batch(batch_spec):

@@ -107,8 +107,12 @@ class ShardedKmerCounter:
         merge_every: int = 1,  # accepted for API parity (per-batch merge)
         lsm: bool = False,    # accepted for API parity (per-shard stores
         lsm_growth: int = 8,  # are batch-sized; levels add nothing there)
+        threads: int = 0,
+        prefetch_depth: int = 3,
     ):
         del merge_every, lsm, lsm_growth
+        self.threads = threads if threads > 0 else 1
+        self.prefetch_depth = max(1, prefetch_depth)
         from tsxcount_tpu.core.counter import MODE_TO_BACKEND
 
         self.spec = KmerSpec(k)
