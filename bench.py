@@ -80,6 +80,9 @@ def main() -> int:
     ap.add_argument("--passes", type=int, default=2,
                     help="steady-state passes; the reported time is the "
                          "fastest (timeit-style, filters tunnel hiccups)")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="run the multi-chip ShardedKmerCounter over N "
+                         "devices (0 = single-chip KmerCounter)")
     args = ap.parse_args()
 
     if args.platform:
@@ -101,10 +104,19 @@ def main() -> int:
     bench_fastq = bench_fastq_path(args.reads)
     ensure_synth_fastq(bench_fastq, n_reads=args.reads)
 
-    counter = KmerCounter(
-        k=args.k, l=args.l, backend=args.backend,
-        batch_words=args.batch_words, merge_every=args.merge_every,
-    )
+    if args.shards:
+        from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
+
+        counter = ShardedKmerCounter(
+            k=args.k, n_shards=args.shards, l=args.l, backend=args.backend,
+            batch_words=args.batch_words, merge_every=args.merge_every,
+            capacity_factor=1.5,
+        )
+    else:
+        counter = KmerCounter(
+            k=args.k, l=args.l, backend=args.backend,
+            batch_words=args.batch_words, merge_every=args.merge_every,
+        )
     # NB: jax.block_until_ready is a no-op through the tunneled axon
     # backend; a device_get of the distinct-count scalar (which depends on
     # the whole merged store) is the completion fence.
@@ -144,6 +156,7 @@ def main() -> int:
         ),
         "k": args.k,
         "backend": args.backend,
+        "shards": args.shards,
         "platform": jax.default_backend(),
         "total_kmers": kmers,
         "distinct_kmers": distinct,

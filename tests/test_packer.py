@@ -110,6 +110,47 @@ def test_packer_interval_budget_early_flush():
     assert kmers_from_batches(batches, k) == naive_kmers([read], k)
 
 
+def test_short_read_interval_budget_scales_with_hint():
+    # 150 bp reads (the dominant Illumina regime): the historical fixed
+    # positions//384 budget flushed at ~40% word fill; a matching hint
+    # must reach essentially full batches
+    k = 14
+    spec = KmerSpec(k)
+    old = BatchSpec(spec, capacity_words=1 << 16)           # hint 384
+    new = BatchSpec(spec, capacity_words=1 << 16, read_len_hint=150)
+    # a 150 bp read occupies 10 words -> 6553 reads fill the batch
+    assert new.max_intervals >= (1 << 16) // 10
+    assert new.max_intervals > old.max_intervals
+
+    rng = np.random.default_rng(11)
+    reads = ["".join(rng.choice(list("ACGT"), size=150)) for _ in range(8000)]
+    batches = list(pack_reads(reads, new))
+    fills = [pb.n_bases / new.capacity_bases for pb in batches[:-1]]
+    assert fills and min(fills) >= 0.85
+    got = kmers_from_batches(batches, k)
+    assert sum(got.values()) == 8000 * (150 - k + 1)
+
+
+def test_counter_auto_adapts_read_len_hint():
+    from tsxcount_tpu.core.counter import KmerCounter
+
+    k = 8
+    rng = np.random.default_rng(5)
+    reads = ["".join(rng.choice(list("ACGT"), size=150)) for _ in range(40)]
+    counter = KmerCounter(k=k, l=14, batch_words=1 << 16)
+    assert counter._auto_hint
+    counter.add_reads(reads)
+    counter.finish()
+    assert counter.batch.read_len_hint == 150
+    assert not counter._auto_hint
+    assert counter.to_dict() == dict(naive_kmers(reads, k))
+
+    # an explicit hint disables auto-adaptation
+    fixed = KmerCounter(k=k, l=14, batch_words=1 << 16, read_len_hint=500)
+    fixed.add_reads(reads[:2])
+    assert fixed.batch.read_len_hint == 500
+
+
 def test_word_alignment_of_reads():
     batch = BatchSpec(KmerSpec(4), capacity_words=8)
     packer = ReadPacker(batch)

@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="table shards across devices (multi-chip)")
     c.add_argument("--batch-words", type=int, default=1 << 20,
                    help="uint32 words per device batch (16 bases/word)")
+    c.add_argument("--read-len", type=int, default=0,
+                   help="expected read length in bases; sizes the "
+                        "interval-coded validity budget per batch "
+                        "(0 = auto-detect from the first read)")
     c.add_argument("--merge-every", type=int, default=4,
                    help="batches folded per store merge (sort backend)")
     c.add_argument("--lsm", action="store_true",
@@ -116,6 +120,7 @@ def cmd_count(args: argparse.Namespace) -> int:
         lsm=args.lsm,
         lsm_growth=args.lsm_growth,
         threads=args.threads,
+        read_len_hint=args.read_len,
     )
     if args.load_state:
         # the checkpoint's own shape (shards/backend/k/l) wins over flags

@@ -71,11 +71,18 @@ class BatchSpec:
 
     spec: KmerSpec
     capacity_words: int
+    # expected read length (bases): sizes the interval-coded validity budget
+    # so one-interval-per-read streams fill the batch before exhausting
+    # interval slots.  384 reproduces the historical positions//384 budget;
+    # counters auto-detect the hint from the first read (read_len_hint=0).
+    read_len_hint: int = 384
 
     def __post_init__(self):
         if self.capacity_words % 2:
             raise ValueError("capacity_words must be even (vmask packs 32 "
                              "window bits per uint32)")
+        if self.read_len_hint < 1:
+            raise ValueError("read_len_hint must be >= 1")
 
     @property
     def pad_words(self) -> int:
@@ -103,11 +110,18 @@ class BatchSpec:
 
         Window validity is a union of disjoint [start, end) runs — one per
         read segment, plus splits around N bases — so the packer ships runs
-        (8 bytes each) instead of the dense 1-bit-per-position mask: ~6x
-        fewer H2D bytes for read lengths >= ~400 bases.  When a batch
-        accumulates more runs than this, the packer flushes it early
-        (partially filled), trading fill for the fixed shape jit needs."""
-        return max(1024, self.positions // 384)
+        (8 bytes each) instead of the dense 1-bit-per-position mask: far
+        fewer H2D bytes than the dense mask for realistic read lengths.
+        When a batch accumulates more runs than this, the packer flushes it
+        early (partially filled), trading fill for the fixed shape jit
+        needs.  The budget scales with the reads-per-batch the hint implies:
+        a read of `read_len_hint` bases occupies ceil(hint/16) words, so
+        capacity_words // floor(hint/16) intervals (floor gives natural
+        headroom for N splits and slightly-shorter reads) cover a full
+        batch.  A 150 bp Illumina stream that exhausted the old fixed
+        positions//384 budget at ~40% word fill now reaches full batches."""
+        words_per_read = max(1, self.read_len_hint // BASES_PER_WORD)
+        return max(1024, self.capacity_words // words_per_read)
 
     @property
     def buf_words(self) -> int:

@@ -20,7 +20,9 @@ from pathlib import Path
 import jax
 import numpy as np
 
-FORMAT_VERSION = 2  # v2 adds sharded states + canonical/merge knobs; v1 loads
+FORMAT_VERSION = 3  # v3: sharded state keys are the bijective-hash image
+                    # (routing rides the dedupe sort order); v1/v2 load for
+                    # unsharded counters, sharded v2 files are refused
 
 
 def _is_sharded(counter) -> bool:
@@ -144,6 +146,11 @@ def _load_sharded(meta, data, batch_words, devices):
     from tsxcount_tpu.parallel.mesh import SHARD_AXIS
     from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
 
+    if meta["format"] < 3:
+        raise ValueError(
+            "sharded checkpoints written before format 3 store raw keys; "
+            "this version shards by hashed key — re-count to regenerate"
+        )
     counter = ShardedKmerCounter(
         k=meta["k"], n_shards=meta["n_shards"], l=meta["l"], s=meta["s"],
         backend=meta["backend"], batch_words=batch_words,

@@ -58,6 +58,17 @@ MODE_TO_BACKEND = {
 }
 
 _QUERY_BATCH = 4096
+_HINT_SAMPLE = 64  # reads sampled for the auto read-length hint
+
+
+def _peek_read_lens(path) -> list[int]:
+    """Lengths of the first few records (for interval-budget auto-sizing)."""
+    lens: list[int] = []
+    for rec in read_fastx(path):
+        lens.append(len(rec.seq))
+        if len(lens) >= _HINT_SAMPLE:
+            break
+    return lens
 
 
 @dataclasses.dataclass
@@ -105,6 +116,7 @@ class KmerCounter:
         lsm_growth: int = 8,
         threads: int = 0,
         prefetch_depth: int = 3,
+        read_len_hint: int = 0,
     ):
         if backend in MODE_TO_BACKEND:
             backend = MODE_TO_BACKEND[backend]
@@ -112,7 +124,11 @@ class KmerCounter:
             raise ValueError(f"backend must be one of {BACKENDS} or a "
                              f"reference mode {sorted(MODE_TO_BACKEND)}")
         self.spec = KmerSpec(k)
-        self.batch = BatchSpec(self.spec, batch_words)
+        # read_len_hint sizes the interval-coded validity budget (see
+        # BatchSpec.max_intervals); 0 = auto-detect from the first read
+        self._auto_hint = read_len_hint == 0
+        self.batch = BatchSpec(self.spec, batch_words,
+                               read_len_hint or 384)
         self.l = l
         self.s = s  # accepted for CLI parity; counts are unbounded here
         self.backend = backend
@@ -149,12 +165,37 @@ class KmerCounter:
             )
             self.state = self.table.init_state()
         self.merge_every = max(1, merge_every) if backend == "sort" else 1
-        canonical = self.canonical
         if backend == "sort":
+            if self.lsm:
+                # LSMStore.merge_stacked orchestrates its own jitted
+                # level-merges around a host-side cascade counter
+                self._merge = self.store.merge_stacked
+            else:
+                self._merge = jax.jit(
+                    lambda state, k, c, v: self.store.merge_stacked(
+                        state, k, c, v),
+                    donate_argnums=(0,),
+                )
+            self._pending_uc: list = []
+        self._lookup = jax.jit(self._make_lookup())
+        self._build_ingest()
+        self.batches_processed = 0
+        self.elapsed = 0.0
+
+    def _build_ingest(self) -> None:
+        """(Re)build everything that depends on the batch geometry: the
+        packer and the jitted per-batch device program.  Called once from
+        __init__ and again if the auto read-length hint resizes the batch's
+        interval budget before any data has been ingested."""
+        self.packer = ReadPacker(
+            self.batch, n_policy=self.n_policy, seed=self.seed
+        )
+        if self.backend == "sort":
             # deferred merging: dedupe each batch on device, fold R batch
             # histograms into the store with ONE sort (merge_stacked) —
             # amortizes the O(capacity) re-sort across R batches
             batch = self.batch
+            canonical = self.canonical
 
             def dedupe(buf):
                 # buf = [words | validity intervals]: ONE H2D transfer per
@@ -172,23 +213,29 @@ class KmerCounter:
                 return uc.keys, uc.counts, uc.valid
 
             self._dedupe = jax.jit(dedupe)
-            if self.lsm:
-                # LSMStore.merge_stacked orchestrates its own jitted
-                # level-merges around a host-side cascade counter
-                self._merge = self.store.merge_stacked
-            else:
-                self._merge = jax.jit(
-                    lambda state, k, c, v: self.store.merge_stacked(
-                        state, k, c, v),
-                    donate_argnums=(0,),
-                )
-            self._pending_uc: list = []
         else:
             self._step = jax.jit(self._make_step(), donate_argnums=(0,))
-        self._lookup = jax.jit(self._make_lookup())
-        self.packer = ReadPacker(self.batch, n_policy=n_policy, seed=seed)
-        self.batches_processed = 0
-        self.elapsed = 0.0
+
+    def _adapt_read_len(self, read_lens) -> None:
+        """One-shot auto-sizing of the interval budget from the first few
+        observed read lengths (read_len_hint=0).  Uses the sample MINIMUM —
+        conservative: a budget sized for the shortest read never flushes
+        early on longer ones.  Only the batch geometry changes; count state
+        and ingest stats carry over untouched."""
+        if not self._auto_hint:
+            return
+        self._auto_hint = False
+        lens = [int(x) for x in read_lens]
+        if not lens:
+            return
+        hint = max(self.spec.k, min(lens))
+        new_batch = dataclasses.replace(self.batch, read_len_hint=hint)
+        if new_batch.max_intervals == self.batch.max_intervals:
+            return
+        self.batch = new_batch
+        stats = self.packer.stats
+        self._build_ingest()
+        self.packer.stats = stats
 
     # --- jitted device steps ---
 
@@ -277,6 +324,13 @@ class KmerCounter:
         self._consume_bufs(self._put(pb) for pb in batches)
 
     def add_reads(self, reads: Iterable[str | bytes]) -> None:
+        reads = iter(reads)
+        if self._auto_hint:
+            import itertools
+
+            sample = list(itertools.islice(reads, _HINT_SAMPLE))
+            self._adapt_read_len(len(s) for s in sample)
+            reads = itertools.chain(sample, reads)
         for seq in reads:
             self._consume(self.packer.feed(seq))
 
@@ -318,6 +372,8 @@ class KmerCounter:
         from tsxcount_tpu.io.native import NativeFileReader, native_available
         from tsxcount_tpu.io.pipeline import prefetch
 
+        if self._auto_hint:
+            self._adapt_read_len(_peek_read_lens(path))
         if use_native is None:
             use_native = native_available()
         if use_native:

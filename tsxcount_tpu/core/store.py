@@ -213,10 +213,19 @@ class CountStore:
         tile = tile or _MERGE_TILE or DEFAULT_TILE
         cap = self.capacity
         spec = self.spec
+        # balanced merge tree: R runs cost O(R log R) rows instead of the
+        # O(R^2) of sequential accumulation (matters for the sharded path,
+        # which folds merge_every * n_shards runs per flush)
+        while len(runs) > 1:
+            nxt_level = [
+                merge_sorted(runs[i], runs[i + 1], tile=tile,
+                             interpret=interpret, n_keys=n_keys)
+                for i in range(0, len(runs) - 1, 2)
+            ]
+            if len(runs) % 2:
+                nxt_level.append(runs[-1])
+            runs = nxt_level
         acc = runs[0]
-        for nxt in runs[1:]:
-            acc = merge_sorted(acc, nxt, tile=tile, interpret=interpret,
-                               n_keys=n_keys)
         if not run_has_hi:
             acc = acc + (jnp.zeros_like(acc[n_keys], jnp.int32),)
         lo0, hi0 = digits_to_u64(state.digits)

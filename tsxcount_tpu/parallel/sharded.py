@@ -6,15 +6,25 @@ TSX/CAS/locks (SURVEY.md §2.3), here:
 
   * read batches stream data-parallel: each device packs/extracts its own
     slice (the omp-task analog, reference src/mains/main.cpp:132-218);
-  * each device dedupes its local k-mers (sort + segmented sum), then routes
-    (key, count) pairs to the *owner* shard of the key's hash prefix with one
-    `jax.lax.all_to_all` over the mesh — ICI traffic instead of cache-line
-    contention;
-  * the owner merges into its private store shard: conflict-free by
-    construction, no serialization primitive anywhere;
-  * routing-capacity spill is counted (the analog of the reference's abort
-    statistics, TSXHashMapTSXPerf.h:195-239) and surfaced as an error —
-    exactness is never silently lost.
+  * each device hashes its k-mers with the bijective GF(2) map FIRST and
+    dedupes the *hashed* keys (bijective => same histogram).  Because the
+    dedupe sort orders rows by hashed key, the owner shard of each row —
+    a range partition of the top hash bits — is a *prefix structure* of the
+    sorted output: routing needs NO second sort and NO scatter, just one
+    contiguous `dynamic_slice` per destination (XLA lowers it to a linear
+    DMA) and one `jax.lax.all_to_all` over the mesh — ICI traffic instead
+    of cache-line contention;
+  * the owner receives n_shards already-sorted, already-deduplicated runs
+    and defers folding them into its private store shard across
+    `merge_every` batches (the same amortized merge_stacked the single-chip
+    path uses, Pallas merge-path kernels on real TPUs);
+  * per-destination capacity spill is counted (the analog of the reference's
+    abort statistics, TSXHashMapTSXPerf.h:195-239) and surfaced as an error
+    at finish() — exactness is never silently lost.
+
+Stores hold HASHED keys (the bijective image); queries are hashed on the way
+in and exports are inverse-hashed on the way out, exactly like the
+reference's reconstruction path (TSXHashMap.h:660-722).
 
 Works identically on a real multi-chip slice and on the CPU-simulated mesh
 (`--xla_force_host_platform_device_count`), and across hosts once
@@ -26,7 +36,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from pathlib import Path
-from typing import Iterable
+from typing import Iterable, Iterator
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +47,7 @@ from tsxcount_tpu.config import BatchSpec, KmerSpec, counts_to_int
 from tsxcount_tpu.core.counter import _QUERY_BATCH, TableFull
 from tsxcount_tpu.core.store import CountStore, StoreState
 from tsxcount_tpu.io.fastx import read_fastx
-from tsxcount_tpu.io.packer import ReadPacker
+from tsxcount_tpu.io.packer import PackedBatch, ReadPacker
 from tsxcount_tpu.ops.canonical import canonicalize
 from tsxcount_tpu.ops.count import count_unique
 from tsxcount_tpu.ops.gf2 import DEFAULT_SEED, GF2Hash
@@ -74,15 +84,57 @@ def _state_specs(state_cls):
     return state_cls(*([P(SHARD_AXIS)] * len(state_cls._fields)))
 
 
-def hash_owner(hashes: jax.Array, spec: KmerSpec, n_shards: int) -> jax.Array:
-    """Owner shard of each hashed key: top hash bits mod n_shards.
+def owner_of_hash(top: jax.Array, spec: KmerSpec, n_shards: int) -> jax.Array:
+    """Owner shard of each hashed key: a balanced range partition of the
+    top hash lane (monotone in `top`, so sorted-by-hash rows are grouped
+    by owner).  Any n_shards, not just powers of two."""
+    b = min(16, spec.top_lane_bits)
+    bucket = (top >> jnp.uint32(spec.top_lane_bits - b)).astype(jnp.int32)
+    return (bucket * n_shards) >> b
 
-    Uses the *top* of the bijective hash so it is independent of the low
-    L bits used for intra-shard table addressing.
-    """
-    top = hashes[:, -1]
-    shift = max(0, spec.top_lane_bits - 16)
-    return ((top >> jnp.uint32(shift)).astype(jnp.int32)) % n_shards
+
+def _owner_starts(owner_eff: jax.Array, n_shards: int) -> jax.Array:
+    """starts[o] = first index with owner_eff >= o, for o in [0, n_shards].
+
+    owner_eff must be nondecreasing int32 [P] (owners over the valid sorted
+    prefix, n_shards on the invalid tail).  Vectorized binary search —
+    fori_loop, no data-dependent shapes."""
+    p = owner_eff.shape[0]
+    targets = jnp.arange(n_shards + 1, dtype=jnp.int32)
+    # derive the carries from the input so they inherit its varying
+    # manual axes when called inside shard_map
+    vary0 = owner_eff[0] * 0
+    lo = jnp.zeros((n_shards + 1,), jnp.int32) + vary0
+    hi = jnp.full((n_shards + 1,), p, jnp.int32) + vary0
+    iters = max(1, p).bit_length() + 1
+
+    def body(_, lohi):
+        lo, hi = lohi
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        go_right = owner_eff[jnp.clip(mid, 0, p - 1)] < targets
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+        return lo, hi
+
+    lo, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo
+
+
+def _grouped(batches: Iterator[PackedBatch], n: int,
+             batch_spec: BatchSpec) -> Iterator[list[PackedBatch]]:
+    """Chunk a PackedBatch stream into lists of n (last group padded with
+    empty batches so every device step has a full fixed-shape input)."""
+    group: list[PackedBatch] = []
+    for pb in batches:
+        group.append(pb)
+        if len(group) == n:
+            yield group
+            group = []
+    if group:
+        while len(group) < n:
+            group.append(PackedBatch.empty(batch_spec))
+        yield group
 
 
 class ShardedKmerCounter:
@@ -104,19 +156,21 @@ class ShardedKmerCounter:
         devices=None,
         max_reprobes: int = 64,
         canonical: bool = False,
-        merge_every: int = 1,  # accepted for API parity (per-batch merge)
+        merge_every: int = 4,
         lsm: bool = False,    # accepted for API parity (per-shard stores
-        lsm_growth: int = 8,  # are batch-sized; levels add nothing there)
+        lsm_growth: int = 8,  # are capacity-bounded; see KmerCounter)
         threads: int = 0,
         prefetch_depth: int = 3,
+        read_len_hint: int = 0,
     ):
-        del merge_every, lsm, lsm_growth
+        del lsm, lsm_growth
         self.threads = threads if threads > 0 else 1
         self.prefetch_depth = max(1, prefetch_depth)
         from tsxcount_tpu.core.counter import MODE_TO_BACKEND
 
         self.spec = KmerSpec(k)
-        self.batch = BatchSpec(self.spec, batch_words)
+        self._auto_hint = read_len_hint == 0
+        self.batch = BatchSpec(self.spec, batch_words, read_len_hint or 384)
         self.l = l
         self.s = s
         self.backend = MODE_TO_BACKEND.get(backend, backend)
@@ -128,32 +182,73 @@ class ShardedKmerCounter:
         self.canonical = canonical
         self.mesh = make_shard_mesh(n_shards, devices=devices)
         self.hash_fn = GF2Hash(self.spec, seed=hash_seed, identity=identity_hash)
+        # owner-side runs are merged in deferred groups of merge_every
+        # batches (sort backend); the table backend resolves every batch
+        # (its insert cost is per-round, not per-capacity)
+        self.merge_every = max(1, merge_every) if self.backend == "sort" else 1
         # per-shard capacity: the global 2^l table split across shards
         l_local = max(1, l - max(0, n_shards.bit_length() - 1))
         if self.backend == "table":
             from tsxcount_tpu.core.table import QuotientTable
 
+            # the stream is pre-hashed (routing needs hash order), so the
+            # per-shard table runs an identity mapping on already-hashed
+            # keys: slot encoding/addressing is unchanged, reconstruction
+            # yields hashed keys that export inverse-maps on host
             self.table = QuotientTable(
-                self.spec, l_local, self.hash_fn, max_reprobes=max_reprobes
+                self.spec, l_local, GF2Hash(self.spec, identity=True),
+                max_reprobes=max_reprobes,
             )
             self._backend_obj = self.table
         else:
             cap_per_shard = max(1, (1 << l) // n_shards)
             self.store = CountStore(self.spec, capacity=cap_per_shard)
             self._backend_obj = self.store
-        # routing capacity per (src, dst) pair
-        self.route_cap = int(
-            capacity_factor * self.batch.positions / n_shards
-        )
-        self.route_cap = max(16, self.route_cap)
+        # routing capacity per (src, dst) pair: enough for a balanced hash
+        # split of one batch's unique keys, rounded so the Pallas merge
+        # kernels tile it (16384 when large, 1024 otherwise)
+        cap = int(capacity_factor * self.batch.positions / n_shards)
+        cap = min(max(16, cap), self.batch.positions)
+        align = 16384 if cap >= 16384 else 1024
+        self.route_cap = -(-cap // align) * align
 
-        self._step = jax.jit(self._make_step(), donate_argnums=(0,))
-        self._lookup = jax.jit(self._make_lookup())
+        self._build_programs()
         self.state = self._init_state()
         self.packer = ReadPacker(self.batch, n_policy=n_policy, seed=seed)
-        self._pending: list = []
+        self._pending: list[PackedBatch] = []
+        self._pending_recv: list[tuple] = []
+        self._spills: list = []
         self.batches_processed = 0
         self.elapsed = 0.0
+
+    def _build_programs(self) -> None:
+        self._step = jax.jit(self._make_step())
+        self._merge = jax.jit(self._make_merge(), donate_argnums=(0,))
+        self._lookup = jax.jit(self._make_lookup())
+        canonical, spec, hash_fn = self.canonical, self.spec, self.hash_fn
+        self._prep_queries = jax.jit(
+            lambda q: hash_fn.apply(canonicalize(q, spec) if canonical else q)
+        )
+
+    def _adapt_read_len(self, read_lens) -> None:
+        """One-shot interval-budget auto-sizing (see KmerCounter's twin)."""
+        if not self._auto_hint:
+            return
+        self._auto_hint = False
+        lens = [int(x) for x in read_lens]
+        if not lens:
+            return
+        hint = max(self.spec.k, min(lens))
+        new_batch = dataclasses.replace(self.batch, read_len_hint=hint)
+        if new_batch.max_intervals == self.batch.max_intervals:
+            return
+        self.batch = new_batch
+        stats = self.packer.stats
+        self.packer = ReadPacker(
+            self.batch, n_policy=self.n_policy, seed=self.seed
+        )
+        self.packer.stats = stats
+        self._step = jax.jit(self._make_step())
 
     # --- sharded state ---
 
@@ -174,19 +269,23 @@ class ShardedKmerCounter:
         return jax.jit(init)()
 
     def _make_step(self):
+        """The routing step: extract -> hash -> dedupe -> slice -> exchange.
+
+        Stateless: returns this batch's received per-source runs
+        (keys [n_shards, cap, lanes], counts [n_shards, cap],
+        lens [n_shards]) plus the global routing spill count.  Folding the
+        runs into the store is deferred to `_merge` every merge_every
+        batches — the same amortization the single-chip path uses.
+        """
         batch = self.batch
         spec = self.spec
         n_shards = self.n_shards
         cap = self.route_cap
-        backend_obj = self._backend_obj
-        accumulate = (
-            backend_obj.insert if self.backend == "table" else backend_obj.merge
-        )
         hash_fn = self.hash_fn
         canonical = self.canonical
         lanes = spec.lanes
 
-        def local_step(state: StoreState, buf):
+        def local_step(buf):
             # local slices keep a singleton leading shard axis; drop it.
             # buf = [words | validity intervals] (one H2D buffer per shard)
             buf = buf[0]
@@ -194,88 +293,124 @@ class ShardedKmerCounter:
             kmers = extract_kmers(words, batch)
             if canonical:
                 kmers = canonicalize(kmers, spec)
+            # bijective hash BEFORE dedupe: equal kmers <=> equal hashes,
+            # and the dedupe sort then doubles as the routing sort (owners
+            # are a range partition of the top hash bits)
+            hashed = hash_fn.apply(kmers)
             valid = intervals_to_valid(buf[batch.total_words :], batch)
-            uc = count_unique(kmers, valid, spec=spec)
+            uc = count_unique(hashed, valid, spec=spec)
             p = uc.keys.shape[0]
 
-            # owner of each unique key
-            hashes = hash_fn.apply(uc.keys)
-            owner = jnp.where(
-                uc.valid, hash_owner(hashes, spec, n_shards), n_shards
-            )
-            # group rows by destination: one sort keyed on owner with the
-            # key lanes + counts as payload (gather-free)
-            sorted_all = jax.lax.sort(
-                (owner,)
-                + tuple(uc.keys[:, j] for j in range(lanes))
-                + (uc.counts,),
-                num_keys=1,
-            )
-            owner_s = sorted_all[0]
-            keys_s = jnp.stack(sorted_all[1 : 1 + lanes], axis=1)
-            counts_s = sorted_all[1 + lanes]
-            arange = jnp.arange(p, dtype=jnp.int32)
-            is_start = jnp.concatenate(
-                [jnp.ones((1,), jnp.bool_), owner_s[1:] != owner_s[:-1]]
-            )
-            starts = jax.lax.cummax(jnp.where(is_start, arange, 0))
-            rank = arange - starts
-            sendable = (owner_s < n_shards) & (rank < cap)
-            spill = jnp.sum(
-                ((owner_s < n_shards) & (rank >= cap)).astype(jnp.int32)
-            )
-            dst = jnp.where(sendable, owner_s * cap + rank, n_shards * cap)
+            owner = owner_of_hash(uc.keys[:, -1], spec, n_shards)
+            owner_eff = jnp.where(uc.valid, owner, n_shards)
+            starts = _owner_starts(owner_eff, n_shards)
+            lens = jnp.diff(starts)
+            spill = jnp.sum(jnp.maximum(lens - cap, 0))
+            send_lens = jnp.minimum(lens, cap)
 
-            send_keys = jnp.zeros((n_shards * cap, lanes), jnp.uint32).at[
-                dst
-            ].set(keys_s, mode="drop")
-            send_counts = jnp.zeros((n_shards * cap,), jnp.int32).at[dst].set(
-                counts_s, mode="drop"
+            # contiguous per-destination placement: rows of owner o are
+            # exactly [starts[o], starts[o]+lens[o]) of the sorted dedupe
+            # output, so each send chunk is ONE dynamic slice (a linear
+            # DMA) — no scatter, no second sort (ops/count.py:13-14)
+            keys_pad = jnp.concatenate(
+                [uc.keys, jnp.zeros((cap, lanes), jnp.uint32)], axis=0
             )
-            send_n = jnp.zeros((n_shards,), jnp.int32).at[
-                jnp.where(owner_s < n_shards, owner_s, n_shards)
-            ].add(sendable.astype(jnp.int32), mode="drop")
+            counts_pad = jnp.concatenate(
+                [uc.counts, jnp.zeros((cap,), jnp.int32)], axis=0
+            )
+            send_keys = jnp.stack([
+                jax.lax.dynamic_slice_in_dim(keys_pad, starts[o], cap)
+                for o in range(n_shards)
+            ])
+            send_counts = jnp.stack([
+                jax.lax.dynamic_slice_in_dim(counts_pad, starts[o], cap)
+                for o in range(n_shards)
+            ])
 
             # exchange: slice j of the result = what shard j sent to me
             recv_keys = jax.lax.all_to_all(
-                send_keys.reshape(n_shards, cap, lanes), SHARD_AXIS, 0, 0,
-                tiled=False,
-            ).reshape(n_shards * cap, lanes)
+                send_keys, SHARD_AXIS, 0, 0, tiled=False
+            )
             recv_counts = jax.lax.all_to_all(
-                send_counts.reshape(n_shards, cap), SHARD_AXIS, 0, 0,
-                tiled=False,
-            ).reshape(n_shards * cap)
-            recv_n = jax.lax.all_to_all(
-                send_n.reshape(n_shards, 1), SHARD_AXIS, 0, 0, tiled=False
+                send_counts, SHARD_AXIS, 0, 0, tiled=False
+            )
+            recv_lens = jax.lax.all_to_all(
+                send_lens.reshape(n_shards, 1), SHARD_AXIS, 0, 0, tiled=False
             ).reshape(n_shards)
-
-            slot_rank = jnp.tile(jnp.arange(cap, dtype=jnp.int32), n_shards)
-            src_of_slot = jnp.repeat(
-                jnp.arange(n_shards, dtype=jnp.int32), cap
-            )
-            recv_valid = slot_rank < recv_n[src_of_slot]
-
-            # owner-side exact accumulation (weights = pre-deduped counts)
-            uc2 = count_unique(recv_keys, recv_valid, weights=recv_counts,
-                               spec=spec, max_multiplicity=n_shards)
-            new_state = accumulate(
-                _unwrap_scalars(state), uc2.keys, uc2.counts, uc2.valid
-            )
             total_spill = jax.lax.psum(spill[None], SHARD_AXIS)
-            return _wrap_scalars(new_state), total_spill
+            return recv_keys, recv_counts, recv_lens, total_spill
 
-        def step(state, buf_stacked):
+        def step(buf_stacked):
+            # check_vma=False: the Pallas kernels inside (compaction) emit
+            # ShapeDtypeStructs without vma annotations, which the varying-
+            # manual-axes checker rejects on TPU
             return shard_map(
                 local_step,
                 mesh=self.mesh,
-                in_specs=(
-                    _state_specs(self._state_cls),
-                    P(SHARD_AXIS),
+                in_specs=(P(SHARD_AXIS),),
+                out_specs=(
+                    P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(),
                 ),
-                out_specs=(_state_specs(self._state_cls), P()),
-            )(state, buf_stacked)
+                check_vma=False,
+            )(buf_stacked)
 
         return step
+
+    def _make_merge(self):
+        """Fold merge_every batches' received runs into the shard stores.
+
+        Each received run is already deduplicated (per-source dedupe) and
+        sorted by hashed key, so the sort backend feeds them straight into
+        merge_stacked (Pallas merge-path kernels on TPU); the table backend
+        re-dedupes across sources once and does a single insert round.
+        """
+        n_shards = self.n_shards
+        cap = self.route_cap
+        lanes = self.spec.lanes
+        spec = self.spec
+        r_groups = self.merge_every
+        backend = self.backend
+        backend_obj = self._backend_obj
+
+        def local_merge(state, keys_list, counts_list, lens_list):
+            keys = jnp.concatenate(keys_list, axis=0)     # [R*n, cap, lanes]
+            counts = jnp.concatenate(counts_list, axis=0) # [R*n, cap]
+            lens = jnp.concatenate(lens_list, axis=0)     # [R*n]
+            valid = (
+                jnp.arange(cap, dtype=jnp.int32)[None, :] < lens[:, None]
+            )
+            st = _unwrap_scalars(state)
+            if backend == "sort":
+                new_state = backend_obj.merge_stacked(
+                    st, keys, counts, valid
+                )
+            else:
+                uc = count_unique(
+                    keys.reshape(-1, lanes), valid.reshape(-1),
+                    weights=counts.reshape(-1), spec=spec,
+                    max_multiplicity=n_shards,
+                )
+                new_state = backend_obj.insert(
+                    st, uc.keys, uc.counts, uc.valid
+                )
+            return _wrap_scalars(new_state)
+
+        def merge(state, keys_list, counts_list, lens_list):
+            # check_vma=False: see _make_step (Pallas merge/compaction)
+            return shard_map(
+                local_merge,
+                mesh=self.mesh,
+                in_specs=(
+                    _state_specs(self._state_cls),
+                    [P(SHARD_AXIS)] * r_groups,
+                    [P(SHARD_AXIS)] * r_groups,
+                    [P(SHARD_AXIS)] * r_groups,
+                ),
+                out_specs=_state_specs(self._state_cls),
+                check_vma=False,
+            )(state, keys_list, counts_list, lens_list)
+
+        return merge
 
     def _make_lookup(self):
         backend_obj = self._backend_obj
@@ -329,6 +464,42 @@ class ShardedKmerCounter:
             NamedSharding(self.mesh, PS(SHARD_AXIS)), stacked
         )
 
+    def _put_group(self, group: list[PackedBatch]):
+        """Stack one group of per-shard host batches and start its H2D
+        transfer (runs on the prefetch producer thread)."""
+        return self._to_global(np.stack([g.buf for g in group]))
+
+    def _step_buf(self, buf) -> None:
+        """Dispatch the routing step for one stacked device buffer and
+        defer its received runs for the next merge flush."""
+        recv_keys, recv_counts, recv_lens, spill = self._step(buf)
+        self._pending_recv.append((recv_keys, recv_counts, recv_lens))
+        self._spills.append(spill)
+        self.batches_processed += self.n_shards
+        if len(self._pending_recv) >= self.merge_every:
+            self._flush_merges()
+
+    def _flush_merges(self, force: bool = False) -> None:
+        if not self._pending_recv:
+            return
+        pend = self._pending_recv
+        if len(pend) < self.merge_every:
+            if not force:
+                return
+            # pad to the compiled group size with empty runs: zeroing the
+            # lens invalidates every row, the key/count payloads are inert
+            filler = pend[-1]
+            pend = pend + [
+                (filler[0], filler[1], jnp.zeros_like(filler[2]))
+            ] * (self.merge_every - len(pend))
+        self._pending_recv = []
+        self.state = self._merge(
+            self.state,
+            [p[0] for p in pend],
+            [p[1] for p in pend],
+            [p[2] for p in pend],
+        )
+
     def _dispatch_pending(self, force: bool = False) -> None:
         if not self._pending:
             return
@@ -343,35 +514,63 @@ class ShardedKmerCounter:
                 self._pending = group
                 break
             while len(group) < n_local:
-                from tsxcount_tpu.io.packer import PackedBatch
-
-                group.append(PackedBatch.empty(group[0].batch))
-            buf = self._to_global(np.stack([g.buf for g in group]))
-            self.state, spill = self._step(self.state, buf)
-            self.batches_processed += self.n_shards
-            spill = int(np.asarray(jax.device_get(spill)).sum())
-            if spill:
-                raise TableFull(
-                    f"{spill} routed kmers exceeded per-destination capacity "
-                    f"{self.route_cap}; increase capacity_factor"
-                )
+                group.append(PackedBatch.empty(self.batch))
+            self._step_buf(self._put_group(group))
         self.elapsed += time.perf_counter() - t0
 
     def add_reads(self, reads: Iterable[str | bytes]) -> None:
+        reads = iter(reads)
+        if self._auto_hint:
+            import itertools
+
+            from tsxcount_tpu.core.counter import _HINT_SAMPLE
+
+            sample = list(itertools.islice(reads, _HINT_SAMPLE))
+            self._adapt_read_len(len(s) for s in sample)
+            reads = itertools.chain(sample, reads)
         for seq in reads:
             for pb in self.packer.feed(seq):
                 self._pending.append(pb)
                 self._dispatch_pending()
 
+    def reset(self) -> None:
+        """Clear all counts/ingest stats but keep the compiled device
+        programs (fresh-store warm benches and reuse without re-jitting)."""
+        self.state = self._init_state()
+        self.packer = ReadPacker(
+            self.batch, n_policy=self.n_policy, seed=self.seed
+        )
+        self._pending = []
+        self._pending_recv = []
+        self._spills = []
+        self.batches_processed = 0
+        self.elapsed = 0.0
+
     def flush(self) -> None:
-        """Drain all pending host batches into device state (used before
-        checkpointing; finish() adds the capacity checks on top)."""
+        """Drain all pending host batches and deferred merges into device
+        state (used before checkpointing; finish() adds the capacity
+        checks on top)."""
         self._pending.extend(self.packer.finish())
         self._dispatch_pending(force=True)
+        self._flush_merges(force=True)
+
+    def _check_spill(self) -> None:
+        if not self._spills:
+            return
+        spill = int(sum(
+            np.asarray(jax.device_get(s)).sum() for s in self._spills
+        ))
+        self._spills = []
+        if spill:
+            raise TableFull(
+                f"{spill} routed kmers exceeded per-destination capacity "
+                f"{self.route_cap}; increase capacity_factor"
+            )
 
     def finish(self) -> None:
         self.flush()
         jax.block_until_ready(self.state)
+        self._check_spill()
         if self.backend == "table":
             spilled = int(np.sum(self._gather(self.state.spilled)))
             if spilled:
@@ -386,9 +585,40 @@ class ShardedKmerCounter:
                 f"rerun with larger --l"
             )
 
-    def count_file(self, path: str | Path) -> None:
-        self.add_reads(rec.seq for rec in read_fastx(path))
-        self.finish()
+    def count_file(self, path: str | Path,
+                   use_native: bool | None = None) -> None:
+        """Count a FASTQ/FASTA(.gz) file over the mesh.
+
+        Uses the native C++ parser + prefetch pipeline when available
+        (threads > 1 byte-range-splits uncompressed input), exactly like
+        the single-chip path (core/counter.py count_file).
+        """
+        from tsxcount_tpu.io.native import NativeFileReader, native_available
+        from tsxcount_tpu.io.pipeline import prefetch
+
+        if self._auto_hint:
+            from tsxcount_tpu.core.counter import _peek_read_lens
+
+            self._adapt_read_len(_peek_read_lens(path))
+        if use_native is None:
+            use_native = native_available()
+        if use_native:
+            reader = NativeFileReader(
+                path, self.batch, n_policy=self.n_policy, seed=self.seed,
+                threads=self.threads,
+            )
+            t0 = time.perf_counter()
+            groups = _grouped(iter(reader), self._local_shards, self.batch)
+            for buf in prefetch(
+                groups, self._put_group, depth=self.prefetch_depth
+            ):
+                self._step_buf(buf)
+            self.elapsed += time.perf_counter() - t0
+            self.packer.stats = reader.stats
+            self.finish()
+        else:
+            self.add_reads(rec.seq for rec in read_fastx(path))
+            self.finish()
 
     # --- queries / export ---
 
@@ -411,6 +641,7 @@ class ShardedKmerCounter:
 
     @property
     def distinct(self) -> int:
+        self._flush_merges(force=True)
         return int(np.sum(self._gather(self.state.n)))
 
     @property
@@ -420,11 +651,8 @@ class ShardedKmerCounter:
     def get_counts(self, kmers: list[str]) -> list[int]:
         if not kmers:
             return []
+        self._flush_merges(force=True)
         keys = strings_to_kmers(kmers, self.spec)
-        if self.canonical:
-            keys = np.asarray(
-                jax.jit(lambda x: canonicalize(x, self.spec))(jnp.asarray(keys))
-            )
         out: list[int] = []
         n = len(kmers)
         for off in range(0, n, _QUERY_BATCH):
@@ -434,7 +662,8 @@ class ShardedKmerCounter:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0
                 )
-            digits, found = self._lookup(self.state, jnp.asarray(chunk))
+            hashed = self._prep_queries(jnp.asarray(chunk))
+            digits, found = self._lookup(self.state, hashed)
             digits = np.asarray(jax.device_get(digits))
             found = np.asarray(jax.device_get(found))
             m = min(_QUERY_BATCH, n - off)
@@ -443,6 +672,9 @@ class ShardedKmerCounter:
         return out
 
     def items(self):
+        """Stream (kmer string, count), one shard at a time (bounded host
+        memory: a shard's slice, not the global table, is resident)."""
+        self._flush_merges(force=True)
         if self.backend == "table":
             yield from self._items_table()
             return
@@ -458,7 +690,9 @@ class ShardedKmerCounter:
             n = int(ns[shard])
             if n == 0:
                 continue
-            strings = kmers_to_strings(keys[shard, :n], self.spec)
+            # stores hold hashed keys; export inverse-maps them
+            kmers = self.hash_fn.inv_apply_host(keys[shard, :n])
+            strings = kmers_to_strings(kmers, self.spec)
             for i, kmer_str in enumerate(strings):
                 yield kmer_str, counts_to_int(*digits[shard, i])
 
@@ -488,8 +722,11 @@ class ShardedKmerCounter:
                     host["probe_hist"].reshape(self.n_shards, -1)[shard]
                 ),
             )
-            keys, counts, n = self.table.to_host(shard_state)
-            strings = kmers_to_strings(keys, self.spec)
+            # the shard table runs an identity mapping over pre-hashed keys:
+            # to_host returns hashed kmers, inverse-map them here
+            hashed, counts, n = self.table.to_host(shard_state)
+            kmers = self.hash_fn.inv_apply_host(hashed) if n else hashed
+            strings = kmers_to_strings(kmers, self.spec)
             for kmer_str, cnt in zip(strings, counts):
                 yield kmer_str, int(cnt)
 
