@@ -83,6 +83,11 @@ def main() -> int:
     ap.add_argument("--shards", type=int, default=0,
                     help="run the multi-chip ShardedKmerCounter over N "
                          "devices (0 = single-chip KmerCounter)")
+    ap.add_argument("--lsm", action="store_true", default=None,
+                    help="force the LSM store (default: auto-engage when "
+                         "the cascade beats flat re-sorts)")
+    ap.add_argument("--no-lsm", dest="lsm", action="store_false",
+                    help="force the flat store")
     args = ap.parse_args()
 
     if args.platform:
@@ -116,6 +121,7 @@ def main() -> int:
         counter = KmerCounter(
             k=args.k, l=args.l, backend=args.backend,
             batch_words=args.batch_words, merge_every=args.merge_every,
+            lsm=args.lsm,
         )
     # NB: jax.block_until_ready is a no-op through the tunneled axon
     # backend; a device_get of the distinct-count scalar (which depends on
@@ -157,6 +163,7 @@ def main() -> int:
         "k": args.k,
         "backend": args.backend,
         "shards": args.shards,
+        "lsm": bool(getattr(counter, "lsm", False)),
         "platform": jax.default_backend(),
         "total_kmers": kmers,
         "distinct_kmers": distinct,

@@ -94,7 +94,25 @@ def test_counter_lsm_end_to_end_matches_flat():
 
 def test_counter_lsm_fallback_when_capacity_small():
     c = KmerCounter(k=11, l=10, batch_words=64, lsm=True, lsm_growth=8)
-    assert not c.lsm  # capacity < growth^2 * flush -> flat store
+    assert not c.lsm  # capacity < growth * flush -> flat store
+
+
+def test_counter_lsm_auto_engages_when_profitable():
+    # default lsm=None: the cascade engages automatically once
+    # capacity * (growth-1) > growth^2 * flush (and not below)
+    big = KmerCounter(k=11, l=20, batch_words=64, merge_every=1)
+    assert big.lsm
+    small = KmerCounter(k=11, l=14, batch_words=64, merge_every=4)
+    assert not small.lsm
+
+    rng = np.random.default_rng(3)
+    reads = ["".join(rng.choice(list("ACGT"), size=70)) for _ in range(60)]
+    flat = KmerCounter(k=11, l=20, batch_words=64, merge_every=1, lsm=False)
+    flat.add_reads(reads)
+    flat.finish()
+    big.add_reads(reads)
+    big.finish()
+    assert big.to_dict() == flat.to_dict()
 
 
 def test_lsm_checkpoint_roundtrip(tmp_path):

@@ -44,9 +44,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=14)
     ap.add_argument("--l", type=int, default=18)
-    ap.add_argument("--reads", type=int, default=400)
+    ap.add_argument("--reads", type=int, default=2000)
     ap.add_argument("--read-len", type=int, default=500)
-    ap.add_argument("--batch-words", type=int, default=1 << 12)
+    ap.add_argument("--genome", type=int, default=100_000,
+                    help="reads are sampled from a genome of this many "
+                         "bases, bounding distinct keys (realistic "
+                         "duplication; keeps the store term of the merge "
+                         "cost data-dominated at every width)")
+    ap.add_argument("--batch-words", type=int, default=1 << 11)
     ap.add_argument("--widths", default="1,2,4,8")
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--out", default=None)
@@ -57,10 +62,9 @@ def main() -> int:
 
     rng = np.random.default_rng(7)
     base = np.array(list("ACGT"))
-    reads = [
-        "".join(base[rng.integers(0, 4, size=args.read_len)])
-        for _ in range(args.reads)
-    ]
+    genome = "".join(base[rng.integers(0, 4, size=args.genome)])
+    starts = rng.integers(0, args.genome - args.read_len, size=args.reads)
+    reads = [genome[s : s + args.read_len] for s in starts]
 
     # single-chip truth (and the 1-device wall baseline for the same code)
     single = KmerCounter(k=args.k, l=args.l, batch_words=args.batch_words)

@@ -61,10 +61,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 = auto-detect from the first read)")
     c.add_argument("--merge-every", type=int, default=4,
                    help="batches folded per store merge (sort backend)")
-    c.add_argument("--lsm", action="store_true",
-                   help="log-structured multi-level store (sort backend): "
-                        "amortizes merges for streams whose table is much "
-                        "larger than one batch; exact counts preserved")
+    c.add_argument("--lsm", action="store_true", default=None,
+                   help="force the log-structured multi-level store (sort "
+                        "backend): amortizes merges for streams whose table "
+                        "is much larger than one batch; exact counts "
+                        "preserved.  Default: engaged automatically when "
+                        "the cascade is cheaper than flat re-sorts")
+    c.add_argument("--no-lsm", dest="lsm", action="store_false",
+                   help="force the flat store (disable LSM auto-engage)")
     c.add_argument("--lsm-growth", type=int, default=8,
                    help="LSM level size ratio (default 8)")
     c.add_argument("--n-policy", choices=("drop", "random"), default="drop",

@@ -112,7 +112,7 @@ class KmerCounter:
         seed: int = 0,
         merge_every: int = 4,
         canonical: bool = False,
-        lsm: bool = False,
+        lsm: bool | None = None,
         lsm_growth: int = 8,
         threads: int = 0,
         prefetch_depth: int = 3,
@@ -146,7 +146,18 @@ class KmerCounter:
         if backend == "sort":
             capacity = 1 << l
             flush = max(1, merge_every) * self.batch.positions
-            if lsm and capacity >= flush * lsm_growth * lsm_growth:
+            # LSM pays once the flat O(capacity) re-sort per flush exceeds
+            # the cascade's amortized cost (merge into L0 at growth*flush
+            # rows + capacity/growth of absorbs per flush vs capacity +
+            # flush):  capacity * (growth-1) > growth^2 * flush.
+            # lsm=None (the default) applies that rule automatically;
+            # True/False force it (True still needs one real level above
+            # L0 to mean anything).
+            auto_lsm = (
+                capacity * (lsm_growth - 1) > lsm_growth ** 2 * flush
+            )
+            use_lsm = auto_lsm if lsm is None else lsm
+            if use_lsm and capacity > flush * lsm_growth:
                 from tsxcount_tpu.core.lsm import LSMStore
 
                 self.store = LSMStore(
@@ -155,8 +166,8 @@ class KmerCounter:
                 )
                 self.lsm = True
             else:
-                # tables not much larger than one flush gain nothing from
-                # levels; fall back to the flat store
+                # tables not larger than L0 gain nothing from levels; fall
+                # back to the flat store
                 self.store = CountStore(self.spec, capacity=capacity)
             self.state = self.store.init_state()
         else:

@@ -157,7 +157,7 @@ class ShardedKmerCounter:
         max_reprobes: int = 64,
         canonical: bool = False,
         merge_every: int = 4,
-        lsm: bool = False,    # accepted for API parity (per-shard stores
+        lsm: bool | None = None,  # accepted for API parity (per-shard stores
         lsm_growth: int = 8,  # are capacity-bounded; see KmerCounter)
         threads: int = 0,
         prefetch_depth: int = 3,
@@ -671,55 +671,68 @@ class ShardedKmerCounter:
                 out.append(counts_to_int(*digits[i]) if found[i] else 0)
         return out
 
+    def _shard_rows(self, arr, shard: int, rows: int) -> np.ndarray:
+        """Host copy of the first `rows` rows of one shard's slice of a
+        shard-partitioned state array.  Single-process: an eager device
+        slice (only those rows ever reach the host — the export stays
+        O(shard), not O(global table), at 2^26+ capacities).  Multi-process:
+        falls back to the cross-process gather."""
+        per = arr.shape[0] // self.n_shards
+        if jax.process_count() == 1:
+            off = shard * per
+            for sh in arr.addressable_shards:
+                if (sh.index[0].start or 0) == off and sh.data.shape[0] == per:
+                    return np.asarray(sh.data[:rows])
+        return self._gather(arr).reshape(
+            (self.n_shards, per) + arr.shape[1:]
+        )[shard, :rows]
+
     def items(self):
         """Stream (kmer string, count), one shard at a time (bounded host
-        memory: a shard's slice, not the global table, is resident)."""
+        memory: a shard's used prefix, not the global table, is resident)."""
         self._flush_merges(force=True)
         if self.backend == "table":
             yield from self._items_table()
             return
-        cap = self.store.capacity
-        keys = self._gather(self.state.keys).reshape(
-            self.n_shards, cap, self.spec.lanes
-        )
-        digits = self._gather(self.state.digits).reshape(
-            self.n_shards, cap, -1
-        )
         ns = self._gather(self.state.n)
         for shard in range(self.n_shards):
             n = int(ns[shard])
             if n == 0:
                 continue
             # stores hold hashed keys; export inverse-maps them
-            kmers = self.hash_fn.inv_apply_host(keys[shard, :n])
+            keys = self._shard_rows(self.state.keys, shard, n)
+            digits = self._shard_rows(self.state.digits, shard, n)
+            kmers = self.hash_fn.inv_apply_host(keys)
             strings = kmers_to_strings(kmers, self.spec)
             for i, kmer_str in enumerate(strings):
-                yield kmer_str, counts_to_int(*digits[shard, i])
+                yield kmer_str, counts_to_int(*digits[i])
 
     def _items_table(self):
-        """Per-shard inverse-hash reconstruction (getAllKmers analog)."""
+        """Per-shard inverse-hash reconstruction (getAllKmers analog) —
+        one shard's slots resident at a time (see _shard_rows)."""
         from tsxcount_tpu.core.table import TableState
 
         slots = self.table.slots
-        host = {
-            name: self._gather(val)
-            for name, val in self.state._asdict().items()
-        }
+        ns = self._gather(self.state.n)
+        spills = self._gather(self.state.spilled)
         for shard in range(self.n_shards):
             shard_state = TableState(
                 keys=jnp.asarray(
-                    host["keys"].reshape(self.n_shards, slots, -1)[shard]
+                    self._shard_rows(self.state.keys, shard, slots)
                 ),
                 digits=jnp.asarray(
-                    host["digits"].reshape(self.n_shards, slots, -1)[shard]
+                    self._shard_rows(self.state.digits, shard, slots)
                 ),
                 used=jnp.asarray(
-                    host["used"].reshape(self.n_shards, slots)[shard]
+                    self._shard_rows(self.state.used, shard, slots)
                 ),
-                n=jnp.asarray(host["n"][shard]),
-                spilled=jnp.asarray(host["spilled"][shard]),
+                n=jnp.asarray(ns[shard]),
+                spilled=jnp.asarray(spills[shard]),
                 probe_hist=jnp.asarray(
-                    host["probe_hist"].reshape(self.n_shards, -1)[shard]
+                    self._shard_rows(
+                        self.state.probe_hist, shard,
+                        self.state.probe_hist.shape[0] // self.n_shards,
+                    )
                 ),
             )
             # the shard table runs an identity mapping over pre-hashed keys:
