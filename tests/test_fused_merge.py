@@ -1,0 +1,135 @@
+"""Fused merge+dedupe+compact kernel vs a numpy reference.
+
+Covers: single/multi-operand keys, duplicate keys within and across the
+two runs, runs spanning many tiles (SMEM carry), uint32 count overflow
+into the hi word, and the trailing invalid run.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsxcount_tpu.ops.pallas_merge_dedupe import merge_dedupe_sorted
+
+INV_MIN = 1 << 30  # test convention: msb >= 2^30 marks the invalid run
+
+
+def _np_reference(a_cols, b_cols, n_keys):
+    """Stable merge + group-by-key + 64-bit sum, in numpy."""
+    cols = [
+        np.concatenate([np.asarray(a), np.asarray(b)])
+        for a, b in zip(a_cols, b_cols)
+    ]
+    keys = np.stack(cols[:n_keys], axis=1).astype(np.uint64)
+    order = np.lexsort(tuple(keys[:, j] for j in reversed(range(n_keys))))
+    keys = keys[order]
+    tot = (
+        cols[n_keys][order].astype(np.uint64)
+        + (cols[n_keys + 1][order].astype(np.uint64) << np.uint64(32))
+    )
+    boundary = np.ones(len(keys), bool)
+    boundary[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+    idx = np.flatnonzero(boundary)
+    sums = np.add.reduceat(tot, idx)
+    ukeys = keys[idx]
+    n_runs = len(idx)
+    invalid = ukeys[:, 0] >= INV_MIN
+    return ukeys, sums, n_runs, int(n_runs - invalid.sum())
+
+
+def _make_run(rng, n, n_keys, n_invalid, key_space, max_lo):
+    """A sorted run: random (possibly duplicated) keys + counts, with
+    n_invalid rows masked to the shared invalid constant at the end."""
+    keys = rng.integers(0, key_space, size=(n, n_keys), dtype=np.uint32)
+    order = np.lexsort(tuple(keys[:, j] for j in reversed(range(n_keys))))
+    keys = keys[order]
+    if n_invalid:
+        keys[n - n_invalid :, 0] = INV_MIN
+        keys[n - n_invalid :, 1:] = 0
+    lo = rng.integers(0, max_lo, size=n, dtype=np.uint32)
+    hi = rng.integers(0, 3, size=n).astype(np.int32)
+    if n_invalid:
+        lo[n - n_invalid :] = 0
+        hi[n - n_invalid :] = 0
+    cols = tuple(jnp.asarray(keys[:, j]) for j in range(n_keys)) + (
+        jnp.asarray(lo), jnp.asarray(hi),
+    )
+    return cols
+
+
+def _run_and_check(a_cols, b_cols, n_keys, tile=1024):
+    out, n_runs, n_valid = merge_dedupe_sorted(
+        a_cols, b_cols, n_keys=n_keys, inv_min=INV_MIN, tile=tile,
+        interpret=True,
+    )
+    ukeys, sums, want_runs, want_valid = _np_reference(
+        a_cols, b_cols, n_keys
+    )
+    n_runs = int(n_runs)
+    assert n_runs == want_runs
+    assert int(n_valid) == want_valid
+    got_keys = np.stack(
+        [np.asarray(out[j][:n_runs]) for j in range(n_keys)], axis=1
+    )
+    np.testing.assert_array_equal(got_keys, ukeys.astype(np.uint32))
+    got = (
+        np.asarray(out[n_keys][:n_runs]).astype(np.uint64)
+        + (np.asarray(out[n_keys + 1][:n_runs]).astype(np.uint64)
+           << np.uint64(32))
+    )
+    np.testing.assert_array_equal(got, sums)
+
+
+@pytest.mark.parametrize("n_keys", [1, 2, 3])
+def test_random_runs(n_keys):
+    rng = np.random.default_rng(7 + n_keys)
+    a = _make_run(rng, 4096, n_keys, n_invalid=37, key_space=3000,
+                  max_lo=2**32 - 1)
+    b = _make_run(rng, 2048, n_keys, n_invalid=11, key_space=3000,
+                  max_lo=2**32 - 1)
+    _run_and_check(a, b, n_keys)
+
+
+def test_heavy_duplication_cross_tile_carry():
+    # one key dominating both runs -> a single run spanning many tiles,
+    # summed through the SMEM carry, with lo-word wraparound into hi
+    rng = np.random.default_rng(3)
+    a_keys = np.zeros(4096, np.uint32)
+    a_keys[3000:] = rng.integers(1, 50, size=1096).astype(np.uint32)
+    a_keys.sort()
+    b_keys = np.zeros(4096, np.uint32)
+    cols_a = (jnp.asarray(a_keys),
+              jnp.asarray(rng.integers(2**31, 2**32 - 1, size=4096,
+                                       dtype=np.uint32)),
+              jnp.asarray(np.zeros(4096, np.int32)))
+    cols_b = (jnp.asarray(b_keys),
+              jnp.asarray(rng.integers(2**31, 2**32 - 1, size=4096,
+                                       dtype=np.uint32)),
+              jnp.asarray(np.zeros(4096, np.int32)))
+    _run_and_check(cols_a, cols_b, n_keys=1)
+
+
+def test_all_invalid_b_side():
+    rng = np.random.default_rng(11)
+    a = _make_run(rng, 2048, 2, n_invalid=0, key_space=500, max_lo=1000)
+    b = _make_run(rng, 1024, 2, n_invalid=1024, key_space=500,
+                  max_lo=1000)
+    _run_and_check(a, b, n_keys=2)
+
+
+def test_disjoint_and_unbalanced():
+    rng = np.random.default_rng(5)
+    a = _make_run(rng, 7168, 1, n_invalid=100, key_space=10_000,
+                  max_lo=100)
+    b = _make_run(rng, 1024, 1, n_invalid=0, key_space=10_000,
+                  max_lo=100)
+    _run_and_check(a, b, n_keys=1)
+
+
+def test_larger_tile_multi_tile():
+    rng = np.random.default_rng(13)
+    a = _make_run(rng, 16384, 2, n_invalid=200, key_space=8000,
+                  max_lo=2**20)
+    b = _make_run(rng, 16384, 2, n_invalid=50, key_space=8000,
+                  max_lo=2**20)
+    _run_and_check(a, b, n_keys=2, tile=4096)

@@ -26,12 +26,17 @@ def _force(out):
     return jax.device_get(leaves[0].ravel()[0])
 
 
+_BASE = 0.0  # null dispatch+fence latency (amortized timing)
+
+
 def timeit(fn, *args, reps=3):
+    """Dispatch `reps` async calls, fence once, subtract the null
+    baseline — single fenced calls through the tunnel are latency-bound."""
     _force(fn(*args))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        _force(fn(*args))
-    return (time.perf_counter() - t0) / reps
+    outs = [fn(*args) for _ in range(reps)]
+    _force(outs[-1])
+    return max(0.0, time.perf_counter() - t0 - _BASE) / reps
 
 
 def main() -> int:
@@ -50,11 +55,26 @@ def main() -> int:
     import functools
 
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 
     from tsxcount_tpu.ops.count import compact_rows
     from tsxcount_tpu.ops.pallas_compact import compact_flagged
+
+    global _BASE
+    null = jax.jit(lambda x: x + 1)
+    z = jax.device_put(jnp.zeros((8,), jnp.int32))
+    _force(null(z))
+    t0 = time.perf_counter()
+    outs = [null(z) for _ in range(args.reps)]
+    _force(outs[-1])
+    _BASE = time.perf_counter() - t0
 
     n = args.n
     rng = np.random.default_rng(0)
@@ -92,6 +112,35 @@ def main() -> int:
             jax.jit(lambda c: jax.lax.sort(
                 (c[0].astype(jnp.uint32),) + c[1:], num_keys=1)),
             cols, reps=args.reps,
+        )
+
+        # fused merge+dedupe+compact vs the 3-pass pipeline it replaces
+        # (merge_sorted -> flags/segsum -> compact_flagged), at store-merge
+        # column layout: 1 key + (lo, hi) counts
+        from tsxcount_tpu.ops.count import _segmented_sum_rev_u64
+        from tsxcount_tpu.ops.pallas_merge_dedupe import merge_dedupe_sorted
+
+        a3 = (a[0], cols[1][:half].astype(jnp.uint32),
+              jnp.zeros((half,), jnp.int32))
+        b3 = (b[0], cols[1][half:].astype(jnp.uint32),
+              jnp.zeros((n - half,), jnp.int32))
+        results["merge_dedupe_fused"] = timeit(
+            jax.jit(functools.partial(
+                merge_dedupe_sorted, n_keys=1, inv_min=1 << 31)),
+            a3, b3, reps=args.reps,
+        )
+
+        def three_pass(a3, b3):
+            merged = merge_sorted(a3, b3, n_keys=1)
+            key = merged[0]
+            neq = key[1:] != key[:-1]
+            flag = jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
+            lo, hi = _segmented_sum_rev_u64(merged[1], merged[2], flag, 2)
+            return compact_flagged(
+                flag.astype(jnp.int32), (key, lo, hi))
+
+        results["merge_dedupe_3pass"] = timeit(
+            jax.jit(three_pass), a3, b3, reps=args.reps,
         )
 
     print(f"platform={jax.default_backend()} n={n} cols={args.cols}")

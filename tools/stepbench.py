@@ -1,9 +1,15 @@
 #!/usr/bin/env python
-"""Breakdown of the counting step's phases at bench shapes (readback-fenced).
+"""Breakdown of the counting step's phases at bench shapes.
 
-Phases: H2D transfer, extract+dedupe (per batch), merge_stacked (per R
-batches), and the packer (host).  Guides optimization: run after changing
-the pipeline.
+Timing is AMORTIZED: each phase dispatches `reps` asynchronous calls
+back-to-back and fences once at the end (the device executes in order),
+then subtracts a null-dispatch baseline — the tunnel's per-call fence
+latency (tens of ms) otherwise swamps every sub-100 ms phase.
+
+Phases: H2D transfer, extract (cols / stacked), extract+sort,
+extract+dedupe (per batch), merge_stacked fused vs 3-pass (per R
+batches), and the packer (host).  Guides optimization: run after
+changing the pipeline.
 """
 
 from __future__ import annotations
@@ -16,34 +22,37 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def fence(x):
-    import jax
-
-    leaves = jax.tree_util.tree_leaves(x)
-    jax.device_get(leaves[0].ravel()[0])
-
-
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=14)
     ap.add_argument("--l", type=int, default=25)
-    ap.add_argument("--batch-words", type=int, default=1 << 20)
+    ap.add_argument("--batch-words", type=int, default=602112)
     ap.add_argument("--merge-every", type=int, default=2)
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=8)
     args = ap.parse_args()
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 
     from tsxcount_tpu.config import BatchSpec, KmerSpec
     from tsxcount_tpu.core.store import CountStore
-    from tsxcount_tpu.ops.count import count_unique
-    from tsxcount_tpu.ops.window import extract_kmers, intervals_to_valid
+    from tsxcount_tpu.ops.count import count_unique, pack_flag_key_cols
+    from tsxcount_tpu.ops.window import (
+        extract_kmer_cols,
+        extract_kmers,
+        intervals_to_valid,
+    )
 
     spec = KmerSpec(args.k)
     batch = BatchSpec(spec, args.batch_words)
@@ -58,45 +67,83 @@ def main() -> int:
     buf_np[batch.capacity_words : batch.total_words] = 0
     # synthetic intervals: ~one valid run per 600 positions (bench-like)
     tw, m = batch.total_words, batch.max_intervals
-    n_iv = max(1, batch.positions // 600)
+    n_iv = max(1, min(m, batch.positions // 600))
     bounds = np.linspace(0, batch.positions, n_iv + 1, dtype=np.uint32)
     buf_np[tw : tw + n_iv] = bounds[:-1]
     buf_np[tw + m : tw + m + n_iv] = bounds[1:] - spec.k  # k-wide gaps
 
+    def fence(x):
+        leaves = jax.tree_util.tree_leaves(x)
+        jax.device_get(leaves[0].ravel()[0])
+
+    # null baseline: dispatch+fence cost of a trivial program
+    null = jax.jit(lambda x: x + 1)
+    z = jax.device_put(jnp.zeros((8,), jnp.int32))
+    fence(null(z))
+    t0 = time.perf_counter()
+    outs = [null(z) for _ in range(args.reps)]
+    fence(outs[-1])
+    base = time.perf_counter() - t0
+    print(f"{'null dispatch+fence':>22}: {base/args.reps*1e3:9.2f} ms "
+          f"(subtracted below)")
+
     def timed(label, fn, *fargs, reps=args.reps):
         fence(fn(*fargs))
         t0 = time.perf_counter()
-        for _ in range(reps):
-            fence(fn(*fargs))
-        dt = (time.perf_counter() - t0) / reps
-        print(f"{label:>18}: {dt*1e3:9.1f} ms")
+        outs = [fn(*fargs) for _ in range(reps)]
+        fence(outs[-1])
+        dt = (time.perf_counter() - t0 - base) / reps
+        print(f"{label:>22}: {dt*1e3:9.1f} ms")
         return dt
 
-    h2d = jax.jit(lambda b: b.sum())
+    touch = jax.jit(lambda b: b[::65536].sum())
+    fence(touch(jax.device_put(buf_np)))
     t0 = time.perf_counter()
     for _ in range(args.reps):
-        fence(h2d(jax.device_put(buf_np)))
-    print(f"{'h2d+touch':>18}: {(time.perf_counter()-t0)/args.reps*1e3:9.1f} ms")
+        fence(touch(jax.device_put(buf_np)))
+    print(f"{'h2d+touch':>22}: "
+          f"{(time.perf_counter()-t0)/args.reps*1e3:9.1f} ms "
+          f"({buf_np.nbytes/2**20:.1f} MiB)")
+
+    buf = jax.device_put(buf_np)
+    timed("extract cols", jax.jit(
+        lambda b: [c.sum() for c in
+                   extract_kmer_cols(b[: batch.total_words], batch)]), buf)
+    timed("extract stacked", jax.jit(
+        lambda b: extract_kmers(b[: batch.total_words], batch)), buf)
+    timed("intervals_to_valid", jax.jit(
+        lambda b: intervals_to_valid(b[batch.total_words :], batch)), buf)
+
+    def sort_only(b):
+        cols = extract_kmer_cols(b[: batch.total_words], batch)
+        valid = intervals_to_valid(b[batch.total_words :], batch)
+        ops = pack_flag_key_cols(cols, ~valid, spec)
+        return jax.lax.sort(ops, num_keys=len(ops))
+
+    timed("extract+sort", jax.jit(sort_only), buf)
 
     def dedupe_fn(b):
-        kmers = extract_kmers(b[: batch.total_words], batch)
+        cols = extract_kmer_cols(b[: batch.total_words], batch)
         valid = intervals_to_valid(b[batch.total_words :], batch)
-        return count_unique(kmers, valid, spec=spec)
+        return count_unique(cols, valid, spec=spec)
 
     dedupe = jax.jit(dedupe_fn)
-    buf = jax.device_put(buf_np)
     uc = dedupe(buf)
     timed("extract+dedupe", dedupe, buf)
 
-    merge = jax.jit(store.merge_stacked)
     state = store.init_state()
     k_s = jnp.stack([uc.keys] * r)
     c_s = jnp.stack([uc.counts] * r)
     v_s = jnp.stack([uc.valid] * r)
-    timed(f"merge_stacked R={r}", merge, state, k_s, c_s, v_s)
-
-    extract = jax.jit(lambda w: extract_kmers(w, batch))
-    timed("extract only", extract, words)
+    if jax.default_backend() == "tpu":
+        for fused in (False, True):
+            merge = jax.jit(lambda s, k, c, v, f=fused:
+                            store._merge_stacked_pallas(s, k, c, v, fused=f))
+            timed(f"merge R={r} fused={int(fused)}", merge,
+                  state, k_s, c_s, v_s)
+    else:
+        merge = jax.jit(store.merge_stacked)
+        timed(f"merge_stacked R={r}", merge, state, k_s, c_s, v_s)
     return 0
 
 

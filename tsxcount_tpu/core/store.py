@@ -23,6 +23,10 @@ import numpy as np
 
 # perf experiment knob: override the Pallas merge kernel tile (elements)
 _MERGE_TILE = int(os.environ.get("TSX_MERGE_TILE", "0")) or None
+# fused merge+dedupe+compact kernel for the final store merge (one pass
+# instead of merge -> flags/segsum -> compaction); 0 reverts to the
+# three-pass pipeline for A/B
+_FUSED_MERGE = os.environ.get("TSX_FUSED_MERGE", "1") != "0"
 
 from tsxcount_tpu.config import COUNT_DIGITS, KmerSpec, counts_to_int
 from tsxcount_tpu.ops.count import (
@@ -159,7 +163,8 @@ class CountStore:
     def _merge_stacked_pallas(self, state: StoreState, ukeys: jax.Array,
                               ucounts: jax.Array, uvalid: jax.Array,
                               interpret: bool = False,
-                              tile: int | None = None) -> StoreState:
+                              tile: int | None = None,
+                              fused: bool | None = None) -> StoreState:
         """merge_stacked via the Pallas merge-path kernel (any k).
 
         All inputs are already sorted runs: the store's used prefix and each
@@ -188,13 +193,14 @@ class CountStore:
             runs.append(tuple(ops) + (cnt,))
         return self._reduce_runs_pallas(
             state, runs, n_keys, run_has_hi=False, fanin=r + 1,
-            interpret=interpret, tile=tile,
+            interpret=interpret, tile=tile, fused=fused,
         )
 
     def _reduce_runs_pallas(self, state: StoreState, runs: list,
                             n_keys: int, run_has_hi: bool,
                             fanin: int, interpret: bool = False,
-                            tile: int | None = None) -> StoreState:
+                            tile: int | None = None,
+                            fused: bool | None = None) -> StoreState:
         """Merge pre-masked sorted runs into the store, dedupe, rebuild.
 
         Each run = key ops + count columns: (lo,) when run_has_hi is False
@@ -233,6 +239,34 @@ class CountStore:
             jnp.where(state.used, lo0, jnp.uint32(0)),
             jnp.where(state.used, hi0, 0),
         )
+        if _FUSED_MERGE if fused is None else fused:
+            from tsxcount_tpu.ops.pallas_merge_dedupe import (
+                merge_dedupe_sorted,
+            )
+
+            inv_min = (
+                (1 << spec.top_lane_bits)
+                if spec.top_lane_bits < 32 else 1
+            )
+            cols, _, n_valid = merge_dedupe_sorted(
+                store_run, acc, n_keys=n_keys, inv_min=inv_min,
+                tile=tile, interpret=interpret,
+            )
+            new_keys, _ = unpack_flag_key(
+                [c[:cap] for c in cols[:n_keys]], spec
+            )
+            new_digits = u64_to_digits(
+                cols[n_keys][:cap], cols[n_keys + 1][:cap]
+            )
+            overflow = state.overflowed | (n_valid > cap)
+            n_kept = jnp.minimum(n_valid, cap)
+            return StoreState(
+                keys=new_keys,
+                digits=renorm_digits(new_digits),
+                used=jnp.arange(cap, dtype=jnp.int32) < n_kept,
+                n=n_kept,
+                overflowed=overflow,
+            )
         merged = merge_sorted(store_run, acc, tile=tile,
                               interpret=interpret, n_keys=n_keys)
 
