@@ -36,21 +36,32 @@ REFERENCE_BASELINE_KMERS_PER_S = None  # loaded from BASELINE_MEASURED.json
 N_READS = 20_000
 
 
-def bench_fastq_path(n_reads: int) -> Path:
-    return Path(f"/tmp/tsxcount_bench.{n_reads}.fastq")
+def bench_fastq_path(n_reads: int, read_len: tuple[int, int] | None = None
+                     ) -> Path:
+    tag = "" if read_len is None else f".len{read_len[0]}-{read_len[1]}"
+    return Path(f"/tmp/tsxcount_bench.{n_reads}{tag}.fastq")
 
 
-def ensure_synth_fastq(path: Path, n_reads: int = N_READS, seed: int = 42):
+def ensure_synth_fastq(path: Path, n_reads: int = N_READS, seed: int = 42,
+                       read_len: tuple[int, int] | None = None):
+    """Default profile mirrors the reference generator (500-1000 bp +
+    polyA tail, generateFakeSequences.py); an explicit read_len makes
+    fixed-length reads with NO tail — the short-read (Illumina-like)
+    regime the reference's benchmark datasets use
+    (analyses/perform_analyses.py:24-26)."""
     if path.exists():
         return
     rng = np.random.default_rng(seed)
     base = np.array(list("ACGT"))
     with open(path, "w") as f:
         for i in range(n_reads):
-            n = int(rng.integers(500, 1000))
-            seq = "".join(base[rng.integers(0, 4, size=n)]) + "A" * int(
-                rng.integers(100, 300)
-            )
+            if read_len is None:
+                n = int(rng.integers(500, 1000))
+                tail = "A" * int(rng.integers(100, 300))
+            else:
+                n = int(rng.integers(read_len[0], read_len[1] + 1))
+                tail = ""
+            seq = "".join(base[rng.integers(0, 4, size=n)]) + tail
             f.write(f"@read{i}\n{seq}\n+\n{'I' * len(seq)}\n")
 
 
@@ -75,6 +86,11 @@ def main() -> int:
     ap.add_argument("--reads", type=int, default=N_READS,
                     help="synthetic read count (default matches the "
                          "reference baseline measurement)")
+    ap.add_argument("--read-len", default=None,
+                    help="fixed read length 'MIN,MAX' (no polyA tail) — "
+                         "e.g. '150,150' for the Illumina short-read "
+                         "regime; default: reference profile 500-1000 bp "
+                         "+ polyA")
     ap.add_argument("--merge-every", type=int, default=2,
                     help="batches folded per store merge (R)")
     ap.add_argument("--passes", type=int, default=2,
@@ -88,6 +104,9 @@ def main() -> int:
                          "the cascade beats flat re-sorts)")
     ap.add_argument("--no-lsm", dest="lsm", action="store_false",
                     help="force the flat store")
+    ap.add_argument("--no-hp-collapse", dest="hp_collapse",
+                    action="store_false", default=True,
+                    help="disable homopolymer run-length collapse at ingest")
     args = ap.parse_args()
 
     if args.platform:
@@ -106,8 +125,12 @@ def main() -> int:
 
     from tsxcount_tpu.core.counter import KmerCounter
 
-    bench_fastq = bench_fastq_path(args.reads)
-    ensure_synth_fastq(bench_fastq, n_reads=args.reads)
+    read_len = None
+    if args.read_len:
+        lo, _, hi = args.read_len.partition(",")
+        read_len = (int(lo), int(hi or lo))
+    bench_fastq = bench_fastq_path(args.reads, read_len)
+    ensure_synth_fastq(bench_fastq, n_reads=args.reads, read_len=read_len)
 
     if args.shards:
         from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
@@ -121,7 +144,7 @@ def main() -> int:
         counter = KmerCounter(
             k=args.k, l=args.l, backend=args.backend,
             batch_words=args.batch_words, merge_every=args.merge_every,
-            lsm=args.lsm,
+            lsm=args.lsm, collapse_homopolymers=args.hp_collapse,
         )
     # NB: jax.block_until_ready is a no-op through the tunneled axon
     # backend; a device_get of the distinct-count scalar (which depends on
@@ -143,7 +166,7 @@ def main() -> int:
         distinct2 = counter.distinct  # completion fence
         fresh = min(fresh, time.perf_counter() - t0)
         assert distinct2 == distinct
-    kmers = counter.packer.stats.windows  # windows of the last pass
+    kmers = counter.total_kmers  # logical windows of the last pass
 
     # re-count pass (store already populated; legacy r01 steady-state probe)
     t0 = time.perf_counter()
@@ -162,6 +185,7 @@ def main() -> int:
         ),
         "k": args.k,
         "backend": args.backend,
+        "read_len": args.read_len,
         "shards": args.shards,
         "lsm": bool(getattr(counter, "lsm", False)),
         "platform": jax.default_backend(),

@@ -131,19 +131,35 @@ def main() -> int:
     uc = dedupe(buf)
     timed("extract+dedupe", dedupe, buf)
 
-    state = store.init_state()
     k_s = jnp.stack([uc.keys] * r)
     c_s = jnp.stack([uc.counts] * r)
     v_s = jnp.stack([uc.valid] * r)
+    # merge timing: CHAIN merges folded inside one jit with the state
+    # DONATED — without donation XLA copies state.keys into a (8,128)-
+    # tiled layout, a 16x padded 16 GB allocation at k=127 l=25
+    chain = 4
+
     if jax.default_backend() == "tpu":
-        for fused in (False, True):
-            merge = jax.jit(lambda s, k, c, v, f=fused:
-                            store._merge_stacked_pallas(s, k, c, v, fused=f))
-            timed(f"merge R={r} fused={int(fused)}", merge,
-                  state, k_s, c_s, v_s)
+        variants = [("fused=0", False), ("fused=1", True)]
     else:
-        merge = jax.jit(store.merge_stacked)
-        timed(f"merge_stacked R={r}", merge, state, k_s, c_s, v_s)
+        variants = [("xla", None)]
+    for tag, fused in variants:
+        def merge_n(state, k, c, v, f=fused):
+            for _ in range(chain):
+                if f is None:
+                    state = store.merge_stacked(state, k, c, v)
+                else:
+                    state = store._merge_stacked_pallas(
+                        state, k, c, v, fused=f)
+            return state
+
+        merge = jax.jit(merge_n, donate_argnums=(0,))
+
+        def run_once(merge=merge):
+            return merge(store.init_state(), k_s, c_s, v_s)
+
+        dt = timed(f"merge R={r} {tag} x{chain}", run_once)
+        print(f"{'  -> per merge':>22}: {dt/chain*1e3:9.1f} ms")
     return 0
 
 

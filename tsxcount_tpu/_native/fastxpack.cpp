@@ -70,6 +70,7 @@ struct Handle {
   gzFile file = nullptr;
   int k = 0;
   int n_policy = 0;
+  bool collapse = true;  // homopolymer run-length collapse (see encode_read)
   Rng rng{0};
   bool is_fasta = false;
   bool eof = false;
@@ -93,6 +94,7 @@ struct Handle {
 
   // current read being packed: 2-bit codes + validity run lengths
   std::vector<uint8_t> codes;
+  std::vector<uint8_t> isn;  // 1 = invalid (N under drop policy)
   std::vector<int32_t> run;  // run[i] = consecutive non-N bases from i
   size_t start = 0;          // next unpacked offset within codes
   bool have_read = false;
@@ -101,6 +103,7 @@ struct Handle {
 
   // stats (mirrors PackStats)
   int64_t reads = 0, reads_skipped = 0, bases = 0, n_bases = 0, windows = 0;
+  int64_t hp_bonus[4] = {0, 0, 0, 0};  // elided all-X windows per base code
 
   int64_t cur_offset() const {
     return consumed_total - (int64_t)(buf_len - buf_pos);
@@ -212,35 +215,61 @@ struct Handle {
     reads++;
     bases += (int64_t)n;
     codes.resize(n);
-    run.resize(n + 1);
+    isn.resize(n);
     int64_t local_n = 0;
     for (size_t i = 0; i < n; ++i) {
       uint8_t c = g_lut.lut[(uint8_t)seq[i]];
       if (c == 255) {
         local_n++;
+        isn[i] = (n_policy == 1) ? 0 : 1;
         codes[i] = (n_policy == 1) ? (uint8_t)(rng.next() & 3) : 0;
       } else {
+        isn[i] = 0;
         codes[i] = c;
       }
     }
     n_bases += local_n;
-    // validity runs (only needed for drop policy; random treats all valid)
-    run[n] = 0;
-    if (n_policy == 1 || local_n == 0) {
-      for (size_t i = n; i-- > 0;) run[i] = run[i + 1] + 1;
-    } else {
-      for (size_t i = n; i-- > 0;) {
-        uint8_t c = g_lut.lut[(uint8_t)seq[i]];
-        run[i] = (c == 255) ? 0 : run[i + 1] + 1;
-      }
-    }
-    start = 0;
-    if (n < (size_t)k) {
+    if (n < (size_t)k) {  // skip on ORIGINAL length (python-packer parity)
       reads_skipped++;
       have_read = false;
-    } else {
-      have_read = true;
+      return;
     }
+    // Homopolymer collapse: splice maximal valid single-base runs longer
+    // than keep = 2k-2 down to keep bases, crediting the elided all-X
+    // windows to hp_bonus (exactly L - keep per run).  Window contents and
+    // validity of every surviving position are preserved — see the proof
+    // in tsxcount_tpu/io/packer.py collapse_homopolymers, which this must
+    // stay bit-identical to.
+    if (collapse && k >= 2) {
+      size_t keep = (size_t)(2 * k - 2);
+      size_t w = 0, i = 0;
+      while (i < n) {
+        size_t j = i + 1;
+        if (!isn[i])
+          while (j < n && !isn[j] && codes[j] == codes[i]) ++j;
+        size_t L = j - i, keepL = L;
+        if (!isn[i] && L > keep) {
+          keepL = keep;
+          hp_bonus[codes[i]] += (int64_t)(L - keep);
+        }
+        if (w != i)
+          for (size_t t = 0; t < keepL; ++t) {
+            codes[w + t] = codes[i + t];
+            isn[w + t] = isn[i + t];
+          }
+        w += keepL;
+        i = j;
+      }
+      codes.resize(w);
+      isn.resize(w);
+      n = w;
+    }
+    // validity runs: run[i] = consecutive valid bases from i
+    run.resize(n + 1);
+    run[n] = 0;
+    for (size_t i = n; i-- > 0;) run[i] = isn[i] ? 0 : run[i + 1] + 1;
+    start = 0;
+    have_read = true;
   }
 
   // parse the next record into codes/run; false on EOF, range end, or error
@@ -378,10 +407,11 @@ extern "C" {
 // with byte_start > 0 or byte_end >= 0 require an UNCOMPRESSED file
 // (gzip streams cannot seek); such opens on gzip data return nullptr.
 void *fxp_open_range(const char *path, int k, int n_policy, uint64_t seed,
-                     int64_t byte_start, int64_t byte_end) {
+                     int64_t byte_start, int64_t byte_end, int collapse) {
   Handle *h = new Handle();
   h->k = k;
   h->n_policy = n_policy;
+  h->collapse = collapse != 0;
   h->rng = Rng(seed);
   h->range_end = byte_end;
   h->file = gzopen(path, "rb");
@@ -417,7 +447,7 @@ void *fxp_open_range(const char *path, int k, int n_policy, uint64_t seed,
 }
 
 void *fxp_open(const char *path, int k, int n_policy, uint64_t seed) {
-  return fxp_open_range(path, k, n_policy, seed, 0, -1);
+  return fxp_open_range(path, k, n_policy, seed, 0, -1, 0);
 }
 
 // Fills one batch buffer laid out as [words | iv starts | iv ends]:
@@ -483,6 +513,13 @@ void fxp_stats(void *hv, int64_t *reads, int64_t *skipped, int64_t *bases,
   *bases = h->bases;
   *n_bases = h->n_bases;
   *windows = h->windows;
+}
+
+// Per-base-code counts of homopolymer windows elided by the collapse
+// (exact; the caller merges them into the store once at finish).
+void fxp_hp_bonus(void *hv, int64_t *out4) {
+  Handle *h = (Handle *)hv;
+  for (int c = 0; c < 4; ++c) out4[c] = h->hp_bonus[c];
 }
 
 const char *fxp_error(void *hv) {

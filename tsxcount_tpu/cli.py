@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 = auto-detect from the first read)")
     c.add_argument("--merge-every", type=int, default=4,
                    help="batches folded per store merge (sort backend)")
+    c.add_argument("--no-hp-collapse", dest="hp_collapse",
+                   action="store_false", default=True,
+                   help="disable homopolymer run-length collapse at ingest "
+                        "(exact either way; collapse splices all-X runs "
+                        "longer than 2k-2 and injects the elided window "
+                        "counts at finish)")
     c.add_argument("--lsm", action="store_true", default=None,
                    help="force the log-structured multi-level store (sort "
                         "backend): amortizes merges for streams whose table "
@@ -134,9 +140,12 @@ def cmd_count(args: argparse.Namespace) -> int:
     elif args.shards > 1:
         from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
 
+        # homopolymer collapse is single-chip-only for now (the sharded
+        # counter has no bonus-injection path yet)
         counter = ShardedKmerCounter(n_shards=args.shards, **kwargs)
     else:
-        counter = KmerCounter(**kwargs)
+        counter = KmerCounter(collapse_homopolymers=args.hp_collapse,
+                              **kwargs)
 
     # config echo, like the reference startup dump (main.cpp:420-427)
     print(f"k={args.k} l={args.l} s={args.s} mode={args.mode} "

@@ -117,6 +117,7 @@ class KmerCounter:
         threads: int = 0,
         prefetch_depth: int = 3,
         read_len_hint: int = 0,
+        collapse_homopolymers: bool = True,
     ):
         if backend in MODE_TO_BACKEND:
             backend = MODE_TO_BACKEND[backend]
@@ -141,6 +142,12 @@ class KmerCounter:
         # reference (main.cpp:132-218) as a bounded producer queue
         self.threads = threads if threads > 0 else 1
         self.prefetch_depth = max(1, prefetch_depth)
+        # homopolymer run-length collapse at ingest (io/packer.py
+        # collapse_homopolymers): splices all-X runs > 2k-2 bases and owes
+        # the elided window counts, injected at finish — exact, and a big
+        # ingest-bandwidth/sort-row saver on homopolymer-tailed data
+        self.collapse_hp = collapse_homopolymers
+        self._hp_injected = [0, 0, 0, 0]
         self.hash_fn = GF2Hash(self.spec, seed=hash_seed, identity=identity_hash)
         self.lsm = False
         if backend == "sort":
@@ -199,8 +206,10 @@ class KmerCounter:
         __init__ and again if the auto read-length hint resizes the batch's
         interval budget before any data has been ingested."""
         self.packer = ReadPacker(
-            self.batch, n_policy=self.n_policy, seed=self.seed
+            self.batch, n_policy=self.n_policy, seed=self.seed,
+            collapse=self.collapse_hp,
         )
+        self._hp_build = None  # batch geometry may have changed
         if self.backend == "sort":
             # deferred merging: dedupe each batch on device, fold R batch
             # histograms into the store with ONE sort (merge_stacked) —
@@ -304,8 +313,10 @@ class KmerCounter:
         else:
             self.state = self.table.init_state()
         self.packer = ReadPacker(
-            self.batch, n_policy=self.n_policy, seed=self.seed
+            self.batch, n_policy=self.n_policy, seed=self.seed,
+            collapse=self.collapse_hp,
         )
+        self._hp_injected = [0, 0, 0, 0]
         self.batches_processed = 0
         self.elapsed = 0.0
 
@@ -348,9 +359,83 @@ class KmerCounter:
     def finish(self) -> None:
         """Flush the final partial batch and check for capacity errors."""
         self._consume(self.packer.finish())
+        self._inject_hp_bonus()
         self._flush_pending()
         jax.block_until_ready(self.state)
         self._check_capacity()
+
+    def _inject_hp_bonus(self) -> None:
+        """Fold homopolymer-collapse bonus counts into the store.
+
+        For each base code c the ingest spliced all-c runs down to 2k-2
+        bases and owes `hp_bonus[c]` occurrences of the all-c k-mer
+        (io/packer.py collapse_homopolymers).  Injected as tiny deduped
+        batch histograms through the normal merge path, chunked to 2^30
+        per row so counts stay within int32; tracks what was already
+        injected so repeated finish() calls are idempotent."""
+        bonus = self.packer.stats.hp_bonus
+        delta = [int(b) - int(i) for b, i in zip(bonus, self._hp_injected)]
+        if not any(d > 0 for d in delta):
+            return
+        self._hp_injected = [int(b) for b in bonus]
+        per_code: dict[int, int] = {}
+        for c, d in enumerate(delta):
+            if d > 0:
+                cc = min(c, 3 - c) if self.canonical else c
+                per_code[cc] = per_code.get(cc, 0) + d
+        build = self._hp_rows_builder()
+        while per_code:
+            group = []
+            for c in sorted(per_code):
+                take = min(per_code[c], 1 << 30)
+                group.append((c, take))
+                per_code[c] -= take
+            per_code = {c: d for c, d in per_code.items() if d}
+            codes16 = np.full(4, -1, np.int32)
+            counts16 = np.zeros(4, np.int32)
+            codes16[: len(group)] = [c for c, _ in group]
+            counts16[: len(group)] = [cnt for _, cnt in group]
+            keys, counts, valid = build(
+                jnp.asarray(codes16), jnp.asarray(counts16)
+            )
+            if self.backend == "sort":
+                self._pending_uc.append((keys, counts, valid))
+                self._flush_pending()
+            else:
+                self.state = self.table.insert(
+                    self.state, keys, counts, valid
+                )
+
+    def _hp_rows_builder(self):
+        """Cached jit building a batch-shaped deduped histogram holding up
+        to 4 homopolymer rows ON DEVICE — only the 4+4 code/count scalars
+        cross the host->device link (a P-shaped host array would be tens
+        of MB through a slow link every pass)."""
+        if getattr(self, "_hp_build", None) is None:
+            p = self.batch.positions
+            lanes = self.spec.lanes
+            top_mask = self.spec.top_lane_mask
+
+            def build(codes, counts):
+                # codes int32 [4] ascending, -1 = unused; all-c kmer lanes
+                # are the 2-bit code repeated: c * 0x55555555, top lane
+                # masked to the key width
+                pattern = codes.astype(jnp.uint32) * jnp.uint32(0x55555555)
+                keys4 = jnp.broadcast_to(
+                    pattern[:, None], (4, lanes)
+                ).astype(jnp.uint32)
+                keys4 = jnp.concatenate(
+                    [keys4[:, :-1],
+                     (keys4[:, -1:] & jnp.uint32(top_mask))], axis=1
+                )
+                n_rows = jnp.sum(codes >= 0, dtype=jnp.int32)
+                keys = jnp.zeros((p, lanes), jnp.uint32).at[:4].set(keys4)
+                cnts = jnp.zeros((p,), jnp.int32).at[:4].set(counts)
+                valid = jnp.arange(p, dtype=jnp.int32) < n_rows
+                return keys, cnts, valid
+
+            self._hp_build = jax.jit(build)
+        return self._hp_build
 
     def _collapse_if_lsm(self) -> None:
         if self.backend == "sort" and self.lsm:
@@ -390,7 +475,7 @@ class KmerCounter:
         if use_native:
             reader = NativeFileReader(
                 path, self.batch, n_policy=self.n_policy, seed=self.seed,
-                threads=self.threads,
+                threads=self.threads, collapse=self.collapse_hp,
             )
             # parse + pack + H2D on background thread(s); device dispatch
             # on this one — the overlapped steady-state pipeline
@@ -398,8 +483,11 @@ class KmerCounter:
                 prefetch(iter(reader), self._put, depth=self.prefetch_depth)
             )
             self._flush_pending()
-            # adopt the native reader's stats as the packer stats
+            # adopt the native reader's stats as the packer stats; the
+            # reader's bonus counts start from zero, so injection restarts
             self.packer.stats = reader.stats
+            self._hp_injected = [0, 0, 0, 0]
+            self._inject_hp_bonus()
             jax.block_until_ready(self.state)
             self._check_capacity()
         else:
@@ -413,6 +501,7 @@ class KmerCounter:
             self._consume_bufs(
                 prefetch(batches(), self._put, depth=self.prefetch_depth)
             )
+            self._inject_hp_bonus()
             self._flush_pending()
             jax.block_until_ready(self.state)
             self._check_capacity()
@@ -428,7 +517,8 @@ class KmerCounter:
 
     @property
     def total_kmers(self) -> int:
-        return self.packer.stats.windows
+        st = self.packer.stats
+        return st.windows + sum(st.hp_bonus)
 
     def get_counts(self, kmers: list[str]) -> list[int]:
         """Exact counts for a list of kmer strings (0 if absent)."""

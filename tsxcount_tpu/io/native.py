@@ -75,7 +75,7 @@ def _load():
         lib.fxp_open_range.restype = ctypes.c_void_p
         lib.fxp_open_range.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
-            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
         ]
         lib.fxp_next_batch.restype = ctypes.c_int
         lib.fxp_next_batch.argtypes = [
@@ -87,6 +87,9 @@ def _load():
         lib.fxp_stats.argtypes = [ctypes.c_void_p] + [
             ctypes.POINTER(ctypes.c_int64)
         ] * 5
+        lib.fxp_hp_bonus.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)
+        ]
         lib.fxp_error.restype = ctypes.c_char_p
         lib.fxp_error.argtypes = [ctypes.c_void_p]
         lib.fxp_close.argtypes = [ctypes.c_void_p]
@@ -129,12 +132,13 @@ class _Handle:
     """One native parse stream over one byte range."""
 
     def __init__(self, lib, path: str | Path, batch: BatchSpec,
-                 n_policy: str, seed: int, byte_start: int, byte_end: int):
+                 n_policy: str, seed: int, byte_start: int, byte_end: int,
+                 collapse: bool = False):
         self._lib = lib
         self.batch = batch
         self._h = lib.fxp_open_range(
             str(path).encode(), batch.spec.k, N_POLICY_CODES[n_policy],
-            seed, byte_start, byte_end,
+            seed, byte_start, byte_end, int(collapse),
         )
         if not self._h:
             if byte_start > 0 or byte_end >= 0:
@@ -177,12 +181,16 @@ class _Handle:
     def stats(self) -> PackStats:
         vals = [ctypes.c_int64() for _ in range(5)]
         self._lib.fxp_stats(self._h, *[ctypes.byref(v) for v in vals])
+        bonus = (ctypes.c_int64 * 4)()
+        self._lib.fxp_hp_bonus(self._h, bonus)
         return PackStats(
             reads=int(vals[0].value),
             reads_skipped=int(vals[1].value),
             bases=int(vals[2].value),
             n_bases=int(vals[3].value),
             windows=int(vals[4].value),
+            hp_bonus=tuple(int(b) for b in bonus),
+            hp_collapsed_bases=int(sum(bonus)),
         )
 
     def close(self):
@@ -208,7 +216,8 @@ class NativeFileReader:
 
     def __init__(self, path: str | Path, batch: BatchSpec,
                  n_policy: str = "drop", seed: int = 0, threads: int = 1,
-                 byte_start: int = 0, byte_end: int = -1):
+                 byte_start: int = 0, byte_end: int = -1,
+                 collapse: bool = False):
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native packer unavailable: {_build_error}")
@@ -229,7 +238,8 @@ class NativeFileReader:
         else:
             ranges = [(byte_start, byte_end if ranged else -1)]
         self._handles = [
-            _Handle(lib, path, batch, n_policy, seed + i, s, e)
+            _Handle(lib, path, batch, n_policy, seed + i, s, e,
+                    collapse=collapse)
             for i, (s, e) in enumerate(ranges)
         ]
 
@@ -261,6 +271,10 @@ class NativeFileReader:
             total.bases += st.bases
             total.n_bases += st.n_bases
             total.windows += st.windows
+            total.hp_bonus = tuple(
+                a + b for a, b in zip(total.hp_bonus, st.hp_bonus)
+            )
+            total.hp_collapsed_bases += st.hp_collapsed_bases
             h.close()
         total.batches = self.stats.batches
         self.stats = total

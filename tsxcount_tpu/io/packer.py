@@ -96,20 +96,65 @@ class PackStats:
     reads_skipped: int = 0     # len < k (reference testExecution.h:18-19)
     bases: int = 0
     n_bases: int = 0           # non-ACGT bases seen
-    windows: int = 0           # valid window positions emitted
+    windows: int = 0           # valid window positions emitted to batches
     batches: int = 0
+    # homopolymer collapse: per-base-code counts of all-X windows elided
+    # from the stream (exact; merged into the store at finish) and the
+    # bases removed.  total logical windows = windows + sum(hp_bonus).
+    hp_bonus: tuple = (0, 0, 0, 0)
+    hp_collapsed_bases: int = 0
+
+
+def collapse_homopolymers(codes: np.ndarray, invalid: np.ndarray, keep: int
+                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Splice maximal runs of one valid base longer than `keep` (= 2k-2)
+    down to exactly `keep` bases.
+
+    Window-content preservation: any window overlapping a run sees only
+    that base where it overlaps, so every boundary-crossing window of the
+    original read appears exactly once in the spliced read with identical
+    contents and validity; only interior all-X windows disappear — exactly
+    L - keep of them per run (keep = 2k-2 leaves k-1 context bases on each
+    side plus the k-1 surviving interior windows).  Returns
+    (codes, invalid, bonus int64[4]) where bonus[c] counts the elided
+    all-c window instances.  The reference brute-forces these windows
+    (addKmer per occurrence); collapsing them at ingest is the homopolymer
+    analog of super-k-mer compression and keeps counts EXACT.
+    """
+    bonus = np.zeros(4, np.int64)
+    n = len(codes)
+    if n <= keep:
+        return codes, invalid, bonus
+    valid = ~invalid
+    same = (codes[1:] == codes[:-1]) & valid[1:] & valid[:-1]
+    if not same.any():
+        return codes, invalid, bonus
+    starts = np.concatenate(
+        [np.zeros(1, np.int64), np.flatnonzero(~same) + 1]
+    )
+    run_id = np.cumsum(np.concatenate([[False], ~same]))
+    lengths = np.diff(np.concatenate([starts, [n]]))
+    long = lengths > keep
+    if not long.any():
+        return codes, invalid, bonus
+    np.add.at(bonus, codes[starts[long]], lengths[long] - keep)
+    keep_mask = (np.arange(n) - starts[run_id]) < keep
+    return codes[keep_mask], invalid[keep_mask], bonus
 
 
 class ReadPacker:
     """Streaming packer producing PackedBatch objects of a fixed BatchSpec."""
 
-    def __init__(self, batch: BatchSpec, n_policy: str = "drop", seed: int = 0):
+    def __init__(self, batch: BatchSpec, n_policy: str = "drop", seed: int = 0,
+                 collapse: bool = False):
         if n_policy not in N_POLICIES:
             raise ValueError(f"n_policy must be one of {N_POLICIES}")
         self.batch = batch
         self.spec = batch.spec
         self.n_policy = n_policy
         self.rng = np.random.default_rng(seed)
+        self.collapse = collapse and batch.spec.k >= 2
+        self._hp_keep = 2 * batch.spec.k - 2
         self.stats = PackStats()
         self._reset()
 
@@ -214,6 +259,17 @@ class ReadPacker:
                 invalid, self.rng.integers(0, 4, size=n, dtype=np.uint8), codes
             )
             invalid = np.zeros_like(invalid)
+        if self.collapse:
+            codes, invalid, bonus = collapse_homopolymers(
+                codes, invalid, self._hp_keep
+            )
+            if bonus.any():
+                st = self.stats
+                st.hp_bonus = tuple(
+                    int(a + b) for a, b in zip(st.hp_bonus, bonus)
+                )
+                st.hp_collapsed_bases += int(bonus.sum())
+            n = len(codes)
 
         start = 0
         cap = self.batch.capacity_words
@@ -244,9 +300,11 @@ def pack_reads(
     batch: BatchSpec,
     n_policy: str = "drop",
     seed: int = 0,
+    collapse: bool = False,
 ) -> Iterator[PackedBatch]:
     """Convenience: pack an iterable of sequences into batches."""
-    packer = ReadPacker(batch, n_policy=n_policy, seed=seed)
+    packer = ReadPacker(batch, n_policy=n_policy, seed=seed,
+                        collapse=collapse)
     for seq in reads:
         yield from packer.feed(seq)
     yield from packer.finish()
