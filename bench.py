@@ -139,6 +139,7 @@ def main() -> int:
             k=args.k, n_shards=args.shards, l=args.l, backend=args.backend,
             batch_words=args.batch_words, merge_every=args.merge_every,
             capacity_factor=1.5,
+            collapse_homopolymers=args.hp_collapse,
         )
     else:
         counter = KmerCounter(

@@ -126,6 +126,71 @@ def test_disjoint_and_unbalanced():
     _run_and_check(a, b, n_keys=1)
 
 
+def test_store_junk_tail_is_harmless():
+    """A store whose unused tail holds junk keys (uninitialized memory,
+    or a state produced by the XLA/3-pass paths) must merge exactly: the
+    caller re-masks unused rows to the shared invalid constant.  This is
+    the regression test for the round-2 n_keys>=2 hardware corruption
+    (junk tails repacked as many unsorted 'invalid' rows broke the
+    merge-path ascending-run precondition)."""
+    import jax.numpy as jnp
+
+    from tsxcount_tpu.config import KmerSpec
+    from tsxcount_tpu.core.store import CountStore, StoreState
+    from tsxcount_tpu.ops.count import int32_to_digits
+
+    rng = np.random.default_rng(17)
+    spec = KmerSpec(31)  # 2 lanes
+    cap = 4096
+    store = CountStore(spec, capacity=cap)
+    n0 = 1000
+    keys0 = rng.integers(0, 2**32, size=(cap, 2), dtype=np.uint32)
+    keys0[:, -1] &= np.uint32(spec.top_lane_mask)
+    keys0 = keys0[np.lexsort((keys0[:, 0], keys0[:, 1]))]
+    counts0 = rng.integers(1, 50, size=cap).astype(np.int32)
+    used = np.arange(cap) < n0
+    # junk tail: REAL-looking unsorted keys beyond the used prefix
+    state = StoreState(
+        keys=jnp.asarray(keys0),
+        digits=jnp.asarray(np.asarray(int32_to_digits(jnp.asarray(counts0)))),
+        used=jnp.asarray(used),
+        n=jnp.asarray(n0, jnp.int32),
+        overflowed=jnp.asarray(False),
+    )
+    bk = rng.integers(0, 2**32, size=(2048, 2), dtype=np.uint32)
+    bk[:, -1] &= np.uint32(spec.top_lane_mask)
+    bk[:512] = keys0[100:612]  # overlap with the used prefix AND the junk
+    bk = np.unique(bk, axis=0)
+    bk = bk[np.lexsort((bk[:, 0], bk[:, 1]))]
+    pad = 2048 - len(bk)
+    bcounts = rng.integers(1, 50, size=2048).astype(np.int32)
+    bvalid = np.arange(2048) < len(bk)
+    bk = np.concatenate([bk, np.zeros((pad, 2), np.uint32)])
+    out = store._merge_stacked_pallas(
+        state, jnp.asarray(bk)[None], jnp.asarray(bcounts)[None],
+        jnp.asarray(bvalid)[None], interpret=True, tile=1024,
+    )
+    # reference via dict arithmetic
+    want = {}
+    for i in range(n0):
+        want[tuple(keys0[i])] = int(counts0[i])
+    for i in range(int(bvalid.sum())):
+        k = tuple(bk[i])
+        want[k] = want.get(k, 0) + int(bcounts[i])
+    n_out = int(out.n)
+    assert n_out == len(want)
+    okeys = np.asarray(out.keys)[:n_out]
+    od = np.asarray(out.digits)[:n_out]
+    got = {
+        tuple(okeys[i]): int(od[i, 0]) + (int(od[i, 1]) << 20)
+        + (int(od[i, 2]) << 40)
+        for i in range(n_out)
+    }
+    assert got == want
+    # produced state is canonical: zeroed tail
+    assert not np.asarray(out.keys)[n_out:].any()
+
+
 def test_larger_tile_multi_tile():
     rng = np.random.default_rng(13)
     a = _make_run(rng, 16384, 2, n_invalid=200, key_space=8000,

@@ -142,6 +142,25 @@ def test_native_packer_parity_with_collapse(tmp_path):
     assert nat.stats.windows == py.stats.windows
 
 
+@pytest.mark.parametrize("canonical", [False, True])
+def test_sharded_counts_exact_with_collapse(canonical):
+    from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
+
+    rng = np.random.default_rng(11)
+    k = 9
+    reads = _hp_reads(rng, n_reads=16, k=k)
+    kw = dict(k=k, n_shards=4, l=12, batch_words=64, canonical=canonical)
+    counter = ShardedKmerCounter(collapse_homopolymers=True, **kw)
+    counter.add_reads(reads)
+    counter.finish()
+    ref = ShardedKmerCounter(collapse_homopolymers=False, **kw)
+    ref.add_reads(reads)
+    ref.finish()
+    assert sum(counter.packer.stats.hp_bonus) > 0
+    assert counter.total_kmers == ref.total_kmers
+    assert counter.to_dict() == ref.to_dict()
+
+
 def test_chunked_injection():
     """Bonus rows above 2^30 split across rows/merges (simulated)."""
     counter = KmerCounter(k=5, l=10, batch_words=64)

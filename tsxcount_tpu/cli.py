@@ -140,9 +140,10 @@ def cmd_count(args: argparse.Namespace) -> int:
     elif args.shards > 1:
         from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
 
-        # homopolymer collapse is single-chip-only for now (the sharded
-        # counter has no bonus-injection path yet)
-        counter = ShardedKmerCounter(n_shards=args.shards, **kwargs)
+        counter = ShardedKmerCounter(
+            n_shards=args.shards,
+            collapse_homopolymers=args.hp_collapse, **kwargs,
+        )
     else:
         counter = KmerCounter(collapse_homopolymers=args.hp_collapse,
                               **kwargs)

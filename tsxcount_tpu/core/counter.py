@@ -391,13 +391,11 @@ class KmerCounter:
                 group.append((c, take))
                 per_code[c] -= take
             per_code = {c: d for c, d in per_code.items() if d}
-            codes16 = np.full(4, -1, np.int32)
-            counts16 = np.zeros(4, np.int32)
-            codes16[: len(group)] = [c for c, _ in group]
-            counts16[: len(group)] = [cnt for _, cnt in group]
-            keys, counts, valid = build(
-                jnp.asarray(codes16), jnp.asarray(counts16)
-            )
+            cc = np.full(8, -1, np.int32)  # [codes | counts]: ONE tiny put
+            cc[4:] = 0
+            cc[: len(group)] = [c for c, _ in group]
+            cc[4 : 4 + len(group)] = [cnt for _, cnt in group]
+            keys, counts, valid = build(jnp.asarray(cc))
             if self.backend == "sort":
                 self._pending_uc.append((keys, counts, valid))
                 self._flush_pending()
@@ -416,10 +414,11 @@ class KmerCounter:
             lanes = self.spec.lanes
             top_mask = self.spec.top_lane_mask
 
-            def build(codes, counts):
-                # codes int32 [4] ascending, -1 = unused; all-c kmer lanes
-                # are the 2-bit code repeated: c * 0x55555555, top lane
-                # masked to the key width
+            def build(cc):
+                # cc int32 [8] = [codes | counts], codes ascending with -1
+                # = unused; all-c kmer lanes are the 2-bit code repeated:
+                # c * 0x55555555, top lane masked to the key width
+                codes, counts = cc[:4], cc[4:]
                 pattern = codes.astype(jnp.uint32) * jnp.uint32(0x55555555)
                 keys4 = jnp.broadcast_to(
                     pattern[:, None], (4, lanes)

@@ -235,7 +235,13 @@ class CountStore:
         if not run_has_hi:
             acc = acc + (jnp.zeros_like(acc[n_keys], jnp.int32),)
         lo0, hi0 = digits_to_u64(state.digits)
-        store_run = tuple(pack_flag_key(state.keys, ~state.used, spec)) + (
+        # zero unused rows' KEYS as well as counts: tails from other merge
+        # paths (XLA, 3-pass, checkpoints) may hold junk, and the fused
+        # kernel requires the invalid region to be one sorted constant
+        clean_keys = jnp.where(
+            state.used[:, None], state.keys, jnp.uint32(0)
+        )
+        store_run = tuple(pack_flag_key(clean_keys, ~state.used, spec)) + (
             jnp.where(state.used, lo0, jnp.uint32(0)),
             jnp.where(state.used, hi0, 0),
         )
@@ -260,10 +266,20 @@ class CountStore:
             )
             overflow = state.overflowed | (n_valid > cap)
             n_kept = jnp.minimum(n_valid, cap)
+            used = jnp.arange(cap, dtype=jnp.int32) < n_kept
+            # ZERO the tail: rows beyond the output frontier hold compaction
+            # junk (real key values).  Left in place they repack as MANY
+            # distinct unsorted "invalid" rows on the next merge, violating
+            # the kernel's ascending-run precondition (the merge-path
+            # partition) and its one-invalid-run stats assumption — the
+            # n_keys>=2 hardware corruption chased in round 2.  Zeroed, the
+            # invalid region is one shared constant again.
+            new_keys = jnp.where(used[:, None], new_keys, jnp.uint32(0))
+            new_digits = jnp.where(used[:, None], new_digits, 0)
             return StoreState(
                 keys=new_keys,
                 digits=renorm_digits(new_digits),
-                used=jnp.arange(cap, dtype=jnp.int32) < n_kept,
+                used=used,
                 n=n_kept,
                 overflowed=overflow,
             )

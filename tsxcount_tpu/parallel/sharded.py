@@ -162,6 +162,7 @@ class ShardedKmerCounter:
         threads: int = 0,
         prefetch_depth: int = 3,
         read_len_hint: int = 0,
+        collapse_homopolymers: bool = True,
     ):
         del lsm, lsm_growth
         self.threads = threads if threads > 0 else 1
@@ -212,9 +213,16 @@ class ShardedKmerCounter:
         align = 16384 if cap >= 16384 else 1024
         self.route_cap = -(-cap // align) * align
 
+        # homopolymer run-length collapse at ingest (io/packer.py); the
+        # elided window counts are hashed host-side, routed to their owner
+        # shards, and injected once at finish
+        self.collapse_hp = collapse_homopolymers
+        self._hp_injected = [0, 0, 0, 0]
+        self._hp_inject_jit = None
         self._build_programs()
         self.state = self._init_state()
-        self.packer = ReadPacker(self.batch, n_policy=n_policy, seed=seed)
+        self.packer = ReadPacker(self.batch, n_policy=n_policy, seed=seed,
+                                 collapse=self.collapse_hp)
         self._pending: list[PackedBatch] = []
         self._pending_recv: list[tuple] = []
         self._spills: list = []
@@ -245,7 +253,8 @@ class ShardedKmerCounter:
         self.batch = new_batch
         stats = self.packer.stats
         self.packer = ReadPacker(
-            self.batch, n_policy=self.n_policy, seed=self.seed
+            self.batch, n_policy=self.n_policy, seed=self.seed,
+            collapse=self.collapse_hp,
         )
         self.packer.stats = stats
         self._step = jax.jit(self._make_step())
@@ -538,8 +547,10 @@ class ShardedKmerCounter:
         programs (fresh-store warm benches and reuse without re-jitting)."""
         self.state = self._init_state()
         self.packer = ReadPacker(
-            self.batch, n_policy=self.n_policy, seed=self.seed
+            self.batch, n_policy=self.n_policy, seed=self.seed,
+            collapse=self.collapse_hp,
         )
+        self._hp_injected = [0, 0, 0, 0]
         self._pending = []
         self._pending_recv = []
         self._spills = []
@@ -567,8 +578,110 @@ class ShardedKmerCounter:
                 f"{self.route_cap}; increase capacity_factor"
             )
 
+
+    def _inject_hp_bonus(self) -> None:
+        """Fold homopolymer-collapse bonus counts into the shard stores.
+
+        The all-c keys are hashed HOST-side (GF2Hash.apply_host mirrors
+        the device matmul bit-exactly), routed to their owner shards by
+        the same top-lane range partition the step uses (owner_of_hash),
+        and merged as one tiny per-shard run built ON DEVICE (only the
+        4 keys/counts per shard cross the link)."""
+        bonus = self.packer.stats.hp_bonus
+        delta = [int(b) - int(i) for b, i in zip(bonus, self._hp_injected)]
+        if not any(d > 0 for d in delta):
+            return
+        self._hp_injected = [int(b) for b in bonus]
+        spec = self.spec
+        lanes = spec.lanes
+        per_code: dict[int, int] = {}
+        for c, d in enumerate(delta):
+            if d > 0:
+                cc = min(c, 3 - c) if self.canonical else c
+                per_code[cc] = per_code.get(cc, 0) + d
+        codes = sorted(per_code)
+        keys = np.zeros((len(codes), lanes), np.uint32)
+        for i, c in enumerate(codes):
+            keys[i, :] = np.uint32(c * 0x55555555)
+            keys[i, -1] &= np.uint32(spec.top_lane_mask)
+        hashed = self.hash_fn.apply_host(keys).astype(np.uint32)
+        b = min(16, spec.top_lane_bits)
+        owners = (
+            (hashed[:, -1] >> np.uint32(spec.top_lane_bits - b))
+            .astype(np.int64) * self.n_shards
+        ) >> b
+        while per_code:
+            k4 = np.zeros((self.n_shards, 4, lanes), np.uint32)
+            c4 = np.zeros((self.n_shards, 4), np.int32)
+            lens = np.zeros((self.n_shards,), np.int32)
+            rows = []
+            for i, c in enumerate(codes):
+                if per_code.get(c, 0) <= 0:
+                    continue
+                take = min(per_code[c], 1 << 30)
+                per_code[c] -= take
+                # run order = packed-op order: top lane most significant
+                rows.append((int(owners[i]), tuple(hashed[i, ::-1]),
+                             hashed[i], take))
+            per_code = {c: d for c, d in per_code.items() if d > 0}
+            rows.sort(key=lambda r: (r[0], r[1]))
+            for o, _, hk, cnt in rows:
+                k4[o, lens[o]] = hk
+                c4[o, lens[o]] = cnt
+                lens[o] += 1
+            # ONE combined uint32 buffer per round: [keys | counts | len]
+            packed = np.concatenate([
+                k4.reshape(self.n_shards, 4 * lanes),
+                c4.astype(np.uint32),
+                lens[:, None].astype(np.uint32),
+            ], axis=1)
+            if jax.process_count() > 1:
+                lo = jax.process_index() * self._local_shards
+                packed = packed[lo : lo + self._local_shards]
+            self.state = self._hp_injector()(
+                self.state, self._to_global(packed)
+            )
+
+    def _hp_injector(self):
+        """Cached shard_map jit: expand each shard's <=4 bonus rows to a
+        route_cap-shaped run on device and fold it with an R=1 merge."""
+        if self._hp_inject_jit is None:
+            cap = self.route_cap
+            lanes = self.spec.lanes
+            backend = self.backend
+            backend_obj = self._backend_obj
+
+            def local(state, packed):
+                row = packed[0]  # [4*lanes + 4 + 1] uint32
+                k4 = row[: 4 * lanes].reshape(4, lanes)
+                c4 = row[4 * lanes : 4 * lanes + 4].astype(jnp.int32)
+                n = row[4 * lanes + 4].astype(jnp.int32)
+                keys = jnp.zeros((cap, lanes), jnp.uint32).at[:4].set(k4)
+                counts = jnp.zeros((cap,), jnp.int32).at[:4].set(c4)
+                valid = jnp.arange(cap, dtype=jnp.int32) < n
+                st = _unwrap_scalars(state)
+                if backend == "sort":
+                    new = backend_obj.merge_stacked(
+                        st, keys[None], counts[None], valid[None]
+                    )
+                else:
+                    new = backend_obj.insert(st, keys, counts, valid)
+                return _wrap_scalars(new)
+
+            self._hp_inject_jit = jax.jit(shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(
+                    _state_specs(self._state_cls), P(SHARD_AXIS),
+                ),
+                out_specs=_state_specs(self._state_cls),
+                check_vma=False,
+            ), donate_argnums=(0,))
+        return self._hp_inject_jit
+
     def finish(self) -> None:
         self.flush()
+        self._inject_hp_bonus()
         jax.block_until_ready(self.state)
         self._check_spill()
         if self.backend == "table":
@@ -605,7 +718,7 @@ class ShardedKmerCounter:
         if use_native:
             reader = NativeFileReader(
                 path, self.batch, n_policy=self.n_policy, seed=self.seed,
-                threads=self.threads,
+                threads=self.threads, collapse=self.collapse_hp,
             )
             t0 = time.perf_counter()
             groups = _grouped(iter(reader), self._local_shards, self.batch)
@@ -615,6 +728,7 @@ class ShardedKmerCounter:
                 self._step_buf(buf)
             self.elapsed += time.perf_counter() - t0
             self.packer.stats = reader.stats
+            self._hp_injected = [0, 0, 0, 0]
             self.finish()
         else:
             self.add_reads(rec.seq for rec in read_fastx(path))
@@ -646,7 +760,8 @@ class ShardedKmerCounter:
 
     @property
     def total_kmers(self) -> int:
-        return self.packer.stats.windows
+        st = self.packer.stats
+        return st.windows + sum(st.hp_bonus)
 
     def get_counts(self, kmers: list[str]) -> list[int]:
         if not kmers:
