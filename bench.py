@@ -65,6 +65,48 @@ def ensure_synth_fastq(path: Path, n_reads: int = N_READS, seed: int = 42,
             f.write(f"@read{i}\n{seq}\n+\n{'I' * len(seq)}\n")
 
 
+TARGET_BATCH_WORDS = 602112  # measured sweet spot on one v5e chip
+
+
+def auto_batch_words(path: Path, k: int, collapse: bool) -> int:
+    """Batch words sized to the dataset: an untimed native prepass counts
+    the packed words the (collapse-aware) stream actually emits, then the
+    batch count targeting ~TARGET words/batch divides it evenly (rounded
+    up to the 256-word granularity the Pallas compaction tiles need, with
+    0.4% slack for seam-overlap drift)."""
+    from tsxcount_tpu.config import BatchSpec, KmerSpec
+    from tsxcount_tpu.io.native import NativeFileReader, native_available
+
+    if not native_available():
+        return TARGET_BATCH_WORDS
+    batch = BatchSpec(KmerSpec(k), TARGET_BATCH_WORDS, 384)
+    reader = NativeFileReader(path, batch, collapse=collapse)
+    for _ in reader:
+        pass
+    words = reader.stats.packed_words
+    if not words:
+        return TARGET_BATCH_WORDS
+    n = max(1, round(words / TARGET_BATCH_WORDS))
+    return -(-int(words * 1.004) // (n * 256)) * 256
+
+
+def peak_rss_mb() -> float:
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+
+
+def device_hbm_mb() -> float | None:
+    """Device memory in use, when the backend exposes it."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return round(stats["bytes_in_use"] / 2**20, 1)
+    except Exception:
+        return None
+
+
 def load_measured_baseline() -> float | None:
     p = Path(__file__).parent / "BASELINE_MEASURED.json"
     if p.exists():
@@ -77,10 +119,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=14)
     ap.add_argument("--l", type=int, default=24)
-    # 602112 sizes two batches to the default dataset's 1 198 147 packed
-    # words (16 bases/word), halving per-pass sorted rows vs 1<<20; any
-    # even value whose positions (16*words) are a 4096 multiple works
-    ap.add_argument("--batch-words", type=int, default=602112)
+    # 0 = auto: size batches to the dataset's actual packed-word count
+    # (an untimed native prepass measures it, collapse-aware) targeting
+    # ~602112 words/batch — fixed-shape H2D buffers then carry no dead
+    # tail through the (slow) host->device link.  Any explicit even value
+    # whose positions (16*words) are a 4096 multiple works.
+    ap.add_argument("--batch-words", type=int, default=0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--backend", default="sort")
     ap.add_argument("--reads", type=int, default=N_READS,
@@ -132,6 +176,11 @@ def main() -> int:
     bench_fastq = bench_fastq_path(args.reads, read_len)
     ensure_synth_fastq(bench_fastq, n_reads=args.reads, read_len=read_len)
 
+    if not args.batch_words:
+        args.batch_words = auto_batch_words(
+            bench_fastq, args.k, args.hp_collapse
+        )
+
     if args.shards:
         from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
 
@@ -168,6 +217,7 @@ def main() -> int:
         fresh = min(fresh, time.perf_counter() - t0)
         assert distinct2 == distinct
     kmers = counter.total_kmers  # logical windows of the last pass
+    stats_last = counter.packer.stats
 
     # re-count pass (store already populated; legacy r01 steady-state probe)
     t0 = time.perf_counter()
@@ -196,6 +246,15 @@ def main() -> int:
         "recount_seconds": round(recount, 3),
         "recount_kmers_per_s": round(kmers / recount),
         "cold_seconds": round(cold, 3),
+        "batch_words": args.batch_words,
+        # hp-collapse visibility: device-processed windows vs the logical
+        # total, so the collapse contribution to the headline is explicit
+        "windows_device": stats_last.windows,
+        "hp_bonus": sum(stats_last.hp_bonus),
+        # memory observability (reference protocol records max-RSS,
+        # analyses/perform_analyses.py:64): host peak RSS + device HBM
+        "max_rss_mb": round(peak_rss_mb(), 1),
+        "device_hbm_mb": device_hbm_mb(),
     }
     print(json.dumps(result))
     return 0

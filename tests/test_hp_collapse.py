@@ -161,13 +161,30 @@ def test_sharded_counts_exact_with_collapse(canonical):
     assert counter.to_dict() == ref.to_dict()
 
 
-def test_chunked_injection():
-    """Bonus rows above 2^30 split across rows/merges (simulated)."""
+def test_read_time_bonus_large_counts():
+    """Owed bonus above 2^30 applied losslessly at read time, including
+    for keys the store never saw (simulated partial-resume state)."""
     counter = KmerCounter(k=5, l=10, batch_words=64)
+    counter.add_reads(["AAAAAGG"])  # store sees AAAAA once
+    counter.finish()
     counter.packer.stats.hp_bonus = (3, (1 << 30) + 7, 0, 2)
-    counter._inject_hp_bonus()
-    counter._flush_pending()
     d = counter.to_dict()
-    assert d["AAAAA"] == 3
+    assert d["AAAAA"] == 3 + 1
     assert d["CCCCC"] == (1 << 30) + 7
     assert d["TTTTT"] == 2
+    assert counter.get_counts(["AAAAA", "CCCCC", "GGGGG", "TTTTT"]) == [
+        4, (1 << 30) + 7, 0, 2,
+    ]
+
+
+def test_read_time_bonus_canonical_query_spellings():
+    """In canonical mode both homopolymer spellings of a complement pair
+    see the folded bonus."""
+    counter = KmerCounter(k=5, l=10, batch_words=64, canonical=True)
+    counter.add_reads(["AAAAA" + "CGTAG"])
+    counter.finish()
+    counter.packer.stats.hp_bonus = (2, 0, 0, 5)  # A-runs + T-runs
+    base = counter.get_counts(["AAAAA"])[0]
+    assert counter.get_counts(["TTTTT"])[0] == base
+    assert counter.to_dict()["AAAAA"] == base
+    assert base >= 7  # 2 + 5 folded into the canonical A key

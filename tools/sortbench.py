@@ -110,6 +110,19 @@ def main() -> int:
         print(f"  sort 1 key + {p} payload : {dt*1e3:9.1f} ms "
               f"{n/dt/1e6:8.1f} Melem/s")
 
+    # radix-on-hash probe (SURVEY §7 hard-part #1): same total column
+    # width, but only the top 2 columns are comparator KEYS (uniform hash
+    # prefix) and the rest ride as payload — vs all columns as keys
+    for total in (3, 5, 9):
+        for nk in (2, total):
+            ops = tuple(cols[:total])
+            dt = timeit(
+                jax.jit(lambda *o, nk=nk: jax.lax.sort(o, num_keys=nk)),
+                *ops, reps=args.reps,
+            )
+            print(f"  sort {nk} keys /{total:2} cols    : {dt*1e3:9.1f} ms "
+                  f"{n/dt/1e6:8.1f} Melem/s")
+
     # batched segment sort: same total rows, B independent segments
     for b in (int(x) for x in args.batches.split(",")):
         if n % b:

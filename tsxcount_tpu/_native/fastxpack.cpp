@@ -103,6 +103,7 @@ struct Handle {
 
   // stats (mirrors PackStats)
   int64_t reads = 0, reads_skipped = 0, bases = 0, n_bases = 0, windows = 0;
+  int64_t packed_words = 0;  // uint32 words actually emitted across batches
   int64_t hp_bonus[4] = {0, 0, 0, 0};  // elided all-X windows per base code
 
   int64_t cur_offset() const {
@@ -502,7 +503,15 @@ int fxp_next_batch(void *hv, uint32_t *buf, int64_t total_words,
   }
   *n_valid = h->windows - windows_before;
   *n_bases_out = batch_bases;
+  h->packed_words += cur_word;
   return h->eof && !h->have_read ? 0 : 1;
+}
+
+// Total uint32 words emitted so far (batch-fill accounting: drives batch
+// sizing and H2D/HBM footprint estimates).
+int64_t fxp_packed_words(void *hv) {
+  Handle *h = (Handle *)hv;
+  return h->packed_words;
 }
 
 void fxp_stats(void *hv, int64_t *reads, int64_t *skipped, int64_t *bases,

@@ -62,11 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--merge-every", type=int, default=4,
                    help="batches folded per store merge (sort backend)")
     c.add_argument("--no-hp-collapse", dest="hp_collapse",
-                   action="store_false", default=True,
+                   action="store_false", default=None,
                    help="disable homopolymer run-length collapse at ingest "
                         "(exact either way; collapse splices all-X runs "
-                        "longer than 2k-2 and injects the elided window "
-                        "counts at finish)")
+                        "longer than 2k-2 and applies the elided window "
+                        "counts at read time).  Default: on; on "
+                        "--load-state the checkpoint's setting unless this "
+                        "flag overrides it")
     c.add_argument("--lsm", action="store_true", default=None,
                    help="force the log-structured multi-level store (sort "
                         "backend): amortizes merges for streams whose table "
@@ -132,20 +134,25 @@ def cmd_count(args: argparse.Namespace) -> int:
         threads=args.threads,
         read_len_hint=args.read_len,
     )
+    hp_collapse = True if args.hp_collapse is None else args.hp_collapse
     if args.load_state:
         # the checkpoint's own shape (shards/backend/k/l) wins over flags
         from tsxcount_tpu.core.checkpoint import load_counter
 
         counter = load_counter(args.load_state, batch_words=args.batch_words)
+        if args.hp_collapse is not None:
+            # explicit flag overrides the checkpoint's collapse setting
+            counter.collapse_hp = args.hp_collapse
+            counter.packer.collapse = args.hp_collapse and counter.spec.k >= 2
     elif args.shards > 1:
         from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
 
         counter = ShardedKmerCounter(
             n_shards=args.shards,
-            collapse_homopolymers=args.hp_collapse, **kwargs,
+            collapse_homopolymers=hp_collapse, **kwargs,
         )
     else:
-        counter = KmerCounter(collapse_homopolymers=args.hp_collapse,
+        counter = KmerCounter(collapse_homopolymers=hp_collapse,
                               **kwargs)
 
     # config echo, like the reference startup dump (main.cpp:420-427)

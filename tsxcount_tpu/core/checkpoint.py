@@ -40,6 +40,7 @@ def save_counter(counter, path: str | Path) -> None:
         "n_policy": counter.n_policy,
         "identity_hash": counter.hash_fn.identity,
         "canonical": counter.canonical,
+        "collapse_hp": getattr(counter, "collapse_hp", True),
         "stats": dataclasses.asdict(counter.packer.stats),
         "batches_processed": counter.batches_processed,
         "lsm": getattr(counter, "lsm", False),
@@ -114,6 +115,7 @@ def _load_single(meta, data, batch_words):
         batch_words=batch_words, n_policy=meta["n_policy"],
         identity_hash=meta["identity_hash"],
         canonical=meta.get("canonical", False),
+        collapse_homopolymers=meta.get("collapse_hp", True),
         lsm=meta.get("lsm", False),
         lsm_growth=meta.get("lsm_growth", 8),
         merge_every=meta.get("merge_every", 4),
@@ -156,6 +158,7 @@ def _load_sharded(meta, data, batch_words, devices):
         backend=meta["backend"], batch_words=batch_words,
         n_policy=meta["n_policy"], identity_hash=meta["identity_hash"],
         canonical=meta.get("canonical", False),
+        collapse_homopolymers=meta.get("collapse_hp", True),
         max_reprobes=meta.get("max_reprobes") or 64,
         devices=devices,
     )

@@ -97,7 +97,51 @@ class TableFull(RuntimeError):
     (TSXHashMap.h:340-343)."""
 
 
-class KmerCounter:
+class HpBonusMixin:
+    """Read-time application of homopolymer-collapse bonus counts.
+
+    The ingest spliced all-c runs down to 2k-2 bases and owes
+    `stats.hp_bonus[c]` occurrences of the all-c k-mer (io/packer.py
+    collapse_homopolymers).  The spliced run still contains k-1 interior
+    all-c windows, so the key is always present in the store; the owed
+    count is a pure host-side adjustment applied wherever counts leave the
+    store (get_counts/items/check).  No device work, idempotent by
+    construction, and multi-host exactness falls out of summing ingest
+    stats (ShardedKmerCounter overrides _hp_stats with the global sum).
+    """
+
+    def _hp_stats(self):
+        """Ingest stats the bonus derives from."""
+        return self.packer.stats
+
+    def _hp_owed_emit(self) -> dict[str, int]:
+        """Owed bonus keyed by the STORED kmer string (canonical rep in
+        canonical mode) — the export/items view."""
+        k = self.spec.k
+        out: dict[str, int] = {}
+        for c, b in enumerate(self._hp_stats().hp_bonus):
+            if b:
+                eff = min(c, 3 - c) if self.canonical else c
+                s = "ACGT"[eff] * k
+                out[s] = out.get(s, 0) + int(b)
+        return out
+
+    def _hp_owed_query(self) -> dict[str, int]:
+        """Owed bonus keyed by every query spelling: in canonical mode the
+        all-T query must see the all-A bonus and vice versa."""
+        emit = self._hp_owed_emit()
+        if not emit or not self.canonical:
+            return emit
+        k = self.spec.k
+        out = dict(emit)
+        for c in range(4):
+            rep = "ACGT"[min(c, 3 - c)] * k
+            if rep in emit:
+                out["ACGT"[c] * k] = emit[rep]
+        return out
+
+
+class KmerCounter(HpBonusMixin):
     def __init__(
         self,
         k: int,
@@ -144,10 +188,11 @@ class KmerCounter:
         self.prefetch_depth = max(1, prefetch_depth)
         # homopolymer run-length collapse at ingest (io/packer.py
         # collapse_homopolymers): splices all-X runs > 2k-2 bases and owes
-        # the elided window counts, injected at finish — exact, and a big
-        # ingest-bandwidth/sort-row saver on homopolymer-tailed data
+        # the elided window counts, applied at READ time (get_counts/items)
+        # from the ingest stats — exact (the all-c kmer always survives in
+        # the spliced stream with k-1 interior windows, so only its count
+        # changes), and zero extra device work per pass
         self.collapse_hp = collapse_homopolymers
-        self._hp_injected = [0, 0, 0, 0]
         self.hash_fn = GF2Hash(self.spec, seed=hash_seed, identity=identity_hash)
         self.lsm = False
         if backend == "sort":
@@ -209,7 +254,6 @@ class KmerCounter:
             self.batch, n_policy=self.n_policy, seed=self.seed,
             collapse=self.collapse_hp,
         )
-        self._hp_build = None  # batch geometry may have changed
         if self.backend == "sort":
             # deferred merging: dedupe each batch on device, fold R batch
             # histograms into the store with ONE sort (merge_stacked) —
@@ -316,7 +360,6 @@ class KmerCounter:
             self.batch, n_policy=self.n_policy, seed=self.seed,
             collapse=self.collapse_hp,
         )
-        self._hp_injected = [0, 0, 0, 0]
         self.batches_processed = 0
         self.elapsed = 0.0
 
@@ -359,82 +402,9 @@ class KmerCounter:
     def finish(self) -> None:
         """Flush the final partial batch and check for capacity errors."""
         self._consume(self.packer.finish())
-        self._inject_hp_bonus()
         self._flush_pending()
         jax.block_until_ready(self.state)
         self._check_capacity()
-
-    def _inject_hp_bonus(self) -> None:
-        """Fold homopolymer-collapse bonus counts into the store.
-
-        For each base code c the ingest spliced all-c runs down to 2k-2
-        bases and owes `hp_bonus[c]` occurrences of the all-c k-mer
-        (io/packer.py collapse_homopolymers).  Injected as tiny deduped
-        batch histograms through the normal merge path, chunked to 2^30
-        per row so counts stay within int32; tracks what was already
-        injected so repeated finish() calls are idempotent."""
-        bonus = self.packer.stats.hp_bonus
-        delta = [int(b) - int(i) for b, i in zip(bonus, self._hp_injected)]
-        if not any(d > 0 for d in delta):
-            return
-        self._hp_injected = [int(b) for b in bonus]
-        per_code: dict[int, int] = {}
-        for c, d in enumerate(delta):
-            if d > 0:
-                cc = min(c, 3 - c) if self.canonical else c
-                per_code[cc] = per_code.get(cc, 0) + d
-        build = self._hp_rows_builder()
-        while per_code:
-            group = []
-            for c in sorted(per_code):
-                take = min(per_code[c], 1 << 30)
-                group.append((c, take))
-                per_code[c] -= take
-            per_code = {c: d for c, d in per_code.items() if d}
-            cc = np.full(8, -1, np.int32)  # [codes | counts]: ONE tiny put
-            cc[4:] = 0
-            cc[: len(group)] = [c for c, _ in group]
-            cc[4 : 4 + len(group)] = [cnt for _, cnt in group]
-            keys, counts, valid = build(jnp.asarray(cc))
-            if self.backend == "sort":
-                self._pending_uc.append((keys, counts, valid))
-                self._flush_pending()
-            else:
-                self.state = self.table.insert(
-                    self.state, keys, counts, valid
-                )
-
-    def _hp_rows_builder(self):
-        """Cached jit building a batch-shaped deduped histogram holding up
-        to 4 homopolymer rows ON DEVICE — only the 4+4 code/count scalars
-        cross the host->device link (a P-shaped host array would be tens
-        of MB through a slow link every pass)."""
-        if getattr(self, "_hp_build", None) is None:
-            p = self.batch.positions
-            lanes = self.spec.lanes
-            top_mask = self.spec.top_lane_mask
-
-            def build(cc):
-                # cc int32 [8] = [codes | counts], codes ascending with -1
-                # = unused; all-c kmer lanes are the 2-bit code repeated:
-                # c * 0x55555555, top lane masked to the key width
-                codes, counts = cc[:4], cc[4:]
-                pattern = codes.astype(jnp.uint32) * jnp.uint32(0x55555555)
-                keys4 = jnp.broadcast_to(
-                    pattern[:, None], (4, lanes)
-                ).astype(jnp.uint32)
-                keys4 = jnp.concatenate(
-                    [keys4[:, :-1],
-                     (keys4[:, -1:] & jnp.uint32(top_mask))], axis=1
-                )
-                n_rows = jnp.sum(codes >= 0, dtype=jnp.int32)
-                keys = jnp.zeros((p, lanes), jnp.uint32).at[:4].set(keys4)
-                cnts = jnp.zeros((p,), jnp.int32).at[:4].set(counts)
-                valid = jnp.arange(p, dtype=jnp.int32) < n_rows
-                return keys, cnts, valid
-
-            self._hp_build = jax.jit(build)
-        return self._hp_build
 
     def _collapse_if_lsm(self) -> None:
         if self.backend == "sort" and self.lsm:
@@ -482,11 +452,11 @@ class KmerCounter:
                 prefetch(iter(reader), self._put, depth=self.prefetch_depth)
             )
             self._flush_pending()
-            # adopt the native reader's stats as the packer stats; the
-            # reader's bonus counts start from zero, so injection restarts
-            self.packer.stats = reader.stats
-            self._hp_injected = [0, 0, 0, 0]
-            self._inject_hp_bonus()
+            # accumulate the native reader's ingest stats (prior add_reads
+            # contributions, including their owed hp bonus, are preserved)
+            from tsxcount_tpu.io.packer import add_stats
+
+            self.packer.stats = add_stats(self.packer.stats, reader.stats)
             jax.block_until_ready(self.state)
             self._check_capacity()
         else:
@@ -500,7 +470,6 @@ class KmerCounter:
             self._consume_bufs(
                 prefetch(batches(), self._put, depth=self.prefetch_depth)
             )
-            self._inject_hp_bonus()
             self._flush_pending()
             jax.block_until_ready(self.state)
             self._check_capacity()
@@ -544,6 +513,9 @@ class KmerCounter:
             m = min(_QUERY_BATCH, n - off)
             for i in range(m):
                 out.append(counts_to_int(*digits[i]) if found[i] else 0)
+        owed = self._hp_owed_query()
+        if owed:
+            out = [c + owed.get(s, 0) for s, c in zip(kmers, out)]
         return out
 
     def items(self) -> Iterator[tuple[str, int]]:
@@ -560,8 +532,15 @@ class KmerCounter:
         else:
             keys, counts, n = self.table.to_host(self.state)
         strings = kmers_to_strings(keys, self.spec)
+        owed = self._hp_owed_emit()
         for kmer_str, cnt in zip(strings, counts):
-            yield kmer_str, int(cnt)
+            yield kmer_str, int(cnt) + (owed.pop(kmer_str, 0) if owed else 0)
+        # owed keys the store never saw (possible only when bonus counters
+        # were set without their runs being ingested, e.g. resumed partial
+        # state): still owed, still emitted
+        for kmer_str, cnt in sorted(owed.items()):
+            if cnt:
+                yield kmer_str, cnt
 
     def to_dict(self) -> dict[str, int]:
         return dict(self.items())

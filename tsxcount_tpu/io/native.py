@@ -90,6 +90,8 @@ def _load():
         lib.fxp_hp_bonus.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)
         ]
+        lib.fxp_packed_words.restype = ctypes.c_int64
+        lib.fxp_packed_words.argtypes = [ctypes.c_void_p]
         lib.fxp_error.restype = ctypes.c_char_p
         lib.fxp_error.argtypes = [ctypes.c_void_p]
         lib.fxp_close.argtypes = [ctypes.c_void_p]
@@ -191,6 +193,7 @@ class _Handle:
             windows=int(vals[4].value),
             hp_bonus=tuple(int(b) for b in bonus),
             hp_collapsed_bases=int(sum(bonus)),
+            packed_words=int(self._lib.fxp_packed_words(self._h)),
         )
 
     def close(self):
@@ -263,18 +266,11 @@ class NativeFileReader:
     def _finalize_stats(self):
         if not self._handles:
             return
+        from tsxcount_tpu.io.packer import add_stats
+
         total = PackStats()
         for h in self._handles:
-            st = h.stats()
-            total.reads += st.reads
-            total.reads_skipped += st.reads_skipped
-            total.bases += st.bases
-            total.n_bases += st.n_bases
-            total.windows += st.windows
-            total.hp_bonus = tuple(
-                a + b for a, b in zip(total.hp_bonus, st.hp_bonus)
-            )
-            total.hp_collapsed_bases += st.hp_collapsed_bases
+            total = add_stats(total, h.stats())
             h.close()
         total.batches = self.stats.batches
         self.stats = total

@@ -99,10 +99,29 @@ class PackStats:
     windows: int = 0           # valid window positions emitted to batches
     batches: int = 0
     # homopolymer collapse: per-base-code counts of all-X windows elided
-    # from the stream (exact; merged into the store at finish) and the
-    # bases removed.  total logical windows = windows + sum(hp_bonus).
+    # from the stream (exact; applied to the affected kmers at read time)
+    # and the bases removed.  total logical windows = windows + sum(hp_bonus).
     hp_bonus: tuple = (0, 0, 0, 0)
     hp_collapsed_bases: int = 0
+    # uint32 words actually emitted (batch-fill/H2D accounting; drives
+    # batch auto-sizing in bench.py and HBM footprint estimates)
+    packed_words: int = 0
+
+
+def add_stats(a: PackStats, b: PackStats) -> PackStats:
+    """Field-wise sum of two ingest-stat records (mixed add_reads +
+    count_file usage, per-range native readers, cross-host reduction)."""
+    return PackStats(
+        reads=a.reads + b.reads,
+        reads_skipped=a.reads_skipped + b.reads_skipped,
+        bases=a.bases + b.bases,
+        n_bases=a.n_bases + b.n_bases,
+        windows=a.windows + b.windows,
+        batches=a.batches + b.batches,
+        hp_bonus=tuple(x + y for x, y in zip(a.hp_bonus, b.hp_bonus)),
+        hp_collapsed_bases=a.hp_collapsed_bases + b.hp_collapsed_bases,
+        packed_words=a.packed_words + b.packed_words,
+    )
 
 
 def collapse_homopolymers(codes: np.ndarray, invalid: np.ndarray, keep: int
@@ -175,6 +194,7 @@ class ReadPacker:
             batch=self.batch,
         )
         self.stats.batches += 1
+        self.stats.packed_words += self._cur_word
         self._reset()
         return out
 

@@ -83,14 +83,19 @@ def count_file_distributed(counter, path: str | Path,
     if mode == "range":
         from tsxcount_tpu.io.native import NativeFileReader, split_ranges
 
+        from tsxcount_tpu.io.packer import add_stats
+
         start, end = split_ranges(path, n_hosts)[host]
         reader = NativeFileReader(
             path, counter.batch, n_policy=counter.n_policy,
             seed=counter.seed, threads=counter.threads,
             byte_start=start, byte_end=end,
+            collapse=counter.collapse_hp,
         )
         batches = list(reader)
-        counter.packer.stats = reader.stats  # host-local ingest stats
+        # host-local ingest stats, accumulated; globals (total_kmers,
+        # stats(), hp bonus) come from the counter's cross-process sum
+        counter.packer.stats = add_stats(counter.packer.stats, reader.stats)
     else:
         batches = []
         for rec in striped_records(path, host, n_hosts, stride):

@@ -44,7 +44,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from tsxcount_tpu.config import BatchSpec, KmerSpec, counts_to_int
-from tsxcount_tpu.core.counter import _QUERY_BATCH, TableFull
+from tsxcount_tpu.core.counter import _QUERY_BATCH, HpBonusMixin, TableFull
 from tsxcount_tpu.core.store import CountStore, StoreState
 from tsxcount_tpu.io.fastx import read_fastx
 from tsxcount_tpu.io.packer import PackedBatch, ReadPacker
@@ -137,7 +137,7 @@ def _grouped(batches: Iterator[PackedBatch], n: int,
         yield group
 
 
-class ShardedKmerCounter:
+class ShardedKmerCounter(HpBonusMixin):
     """KmerCounter-compatible API over an N-device shard mesh."""
 
     def __init__(
@@ -214,11 +214,10 @@ class ShardedKmerCounter:
         self.route_cap = -(-cap // align) * align
 
         # homopolymer run-length collapse at ingest (io/packer.py); the
-        # elided window counts are hashed host-side, routed to their owner
-        # shards, and injected once at finish
+        # elided window counts are applied at READ time from the GLOBAL
+        # (cross-process-summed) ingest stats — see core/counter.py's
+        # read-time bonus notes; no device injection, no per-host routing
         self.collapse_hp = collapse_homopolymers
-        self._hp_injected = [0, 0, 0, 0]
-        self._hp_inject_jit = None
         self._build_programs()
         self.state = self._init_state()
         self.packer = ReadPacker(self.batch, n_policy=n_policy, seed=seed,
@@ -550,7 +549,6 @@ class ShardedKmerCounter:
             self.batch, n_policy=self.n_policy, seed=self.seed,
             collapse=self.collapse_hp,
         )
-        self._hp_injected = [0, 0, 0, 0]
         self._pending = []
         self._pending_recv = []
         self._spills = []
@@ -579,109 +577,40 @@ class ShardedKmerCounter:
             )
 
 
-    def _inject_hp_bonus(self) -> None:
-        """Fold homopolymer-collapse bonus counts into the shard stores.
+    def _global_stats(self) -> "PackStats":
+        """Ingest stats summed across processes (multi-host: each host
+        packed only its input share; counts/exports/totals must reflect
+        the GLOBAL stream).  Collective — every process must call it at
+        the same point, which the SPMD read paths do."""
+        st = self.packer.stats
+        if jax.process_count() == 1:
+            return st
+        from jax.experimental import multihost_utils
 
-        The all-c keys are hashed HOST-side (GF2Hash.apply_host mirrors
-        the device matmul bit-exactly), routed to their owner shards by
-        the same top-lane range partition the step uses (owner_of_hash),
-        and merged as one tiny per-shard run built ON DEVICE (only the
-        4 keys/counts per shard cross the link)."""
-        bonus = self.packer.stats.hp_bonus
-        delta = [int(b) - int(i) for b, i in zip(bonus, self._hp_injected)]
-        if not any(d > 0 for d in delta):
-            return
-        self._hp_injected = [int(b) for b in bonus]
-        spec = self.spec
-        lanes = spec.lanes
-        per_code: dict[int, int] = {}
-        for c, d in enumerate(delta):
-            if d > 0:
-                cc = min(c, 3 - c) if self.canonical else c
-                per_code[cc] = per_code.get(cc, 0) + d
-        codes = sorted(per_code)
-        keys = np.zeros((len(codes), lanes), np.uint32)
-        for i, c in enumerate(codes):
-            keys[i, :] = np.uint32(c * 0x55555555)
-            keys[i, -1] &= np.uint32(spec.top_lane_mask)
-        hashed = self.hash_fn.apply_host(keys).astype(np.uint32)
-        b = min(16, spec.top_lane_bits)
-        owners = (
-            (hashed[:, -1] >> np.uint32(spec.top_lane_bits - b))
-            .astype(np.int64) * self.n_shards
-        ) >> b
-        while per_code:
-            k4 = np.zeros((self.n_shards, 4, lanes), np.uint32)
-            c4 = np.zeros((self.n_shards, 4), np.int32)
-            lens = np.zeros((self.n_shards,), np.int32)
-            rows = []
-            for i, c in enumerate(codes):
-                if per_code.get(c, 0) <= 0:
-                    continue
-                take = min(per_code[c], 1 << 30)
-                per_code[c] -= take
-                # run order = packed-op order: top lane most significant
-                rows.append((int(owners[i]), tuple(hashed[i, ::-1]),
-                             hashed[i], take))
-            per_code = {c: d for c, d in per_code.items() if d > 0}
-            rows.sort(key=lambda r: (r[0], r[1]))
-            for o, _, hk, cnt in rows:
-                k4[o, lens[o]] = hk
-                c4[o, lens[o]] = cnt
-                lens[o] += 1
-            # ONE combined uint32 buffer per round: [keys | counts | len]
-            packed = np.concatenate([
-                k4.reshape(self.n_shards, 4 * lanes),
-                c4.astype(np.uint32),
-                lens[:, None].astype(np.uint32),
-            ], axis=1)
-            if jax.process_count() > 1:
-                lo = jax.process_index() * self._local_shards
-                packed = packed[lo : lo + self._local_shards]
-            self.state = self._hp_injector()(
-                self.state, self._to_global(packed)
-            )
+        from tsxcount_tpu.io.packer import PackStats
 
-    def _hp_injector(self):
-        """Cached shard_map jit: expand each shard's <=4 bonus rows to a
-        route_cap-shaped run on device and fold it with an R=1 merge."""
-        if self._hp_inject_jit is None:
-            cap = self.route_cap
-            lanes = self.spec.lanes
-            backend = self.backend
-            backend_obj = self._backend_obj
+        vec = np.asarray(
+            [st.reads, st.reads_skipped, st.bases, st.n_bases, st.windows,
+             st.batches, *st.hp_bonus, st.hp_collapsed_bases],
+            np.int64,
+        )
+        tot = np.asarray(
+            multihost_utils.process_allgather(vec)
+        ).reshape(-1, vec.size).sum(axis=0)
+        return PackStats(
+            reads=int(tot[0]), reads_skipped=int(tot[1]), bases=int(tot[2]),
+            n_bases=int(tot[3]), windows=int(tot[4]), batches=int(tot[5]),
+            hp_bonus=tuple(int(x) for x in tot[6:10]),
+            hp_collapsed_bases=int(tot[10]),
+        )
 
-            def local(state, packed):
-                row = packed[0]  # [4*lanes + 4 + 1] uint32
-                k4 = row[: 4 * lanes].reshape(4, lanes)
-                c4 = row[4 * lanes : 4 * lanes + 4].astype(jnp.int32)
-                n = row[4 * lanes + 4].astype(jnp.int32)
-                keys = jnp.zeros((cap, lanes), jnp.uint32).at[:4].set(k4)
-                counts = jnp.zeros((cap,), jnp.int32).at[:4].set(c4)
-                valid = jnp.arange(cap, dtype=jnp.int32) < n
-                st = _unwrap_scalars(state)
-                if backend == "sort":
-                    new = backend_obj.merge_stacked(
-                        st, keys[None], counts[None], valid[None]
-                    )
-                else:
-                    new = backend_obj.insert(st, keys, counts, valid)
-                return _wrap_scalars(new)
-
-            self._hp_inject_jit = jax.jit(shard_map(
-                local,
-                mesh=self.mesh,
-                in_specs=(
-                    _state_specs(self._state_cls), P(SHARD_AXIS),
-                ),
-                out_specs=_state_specs(self._state_cls),
-                check_vma=False,
-            ), donate_argnums=(0,))
-        return self._hp_inject_jit
+    # read-time homopolymer bonus (HpBonusMixin): derived from the GLOBAL
+    # ingest stats, so multi-host counting stays exact by summation instead
+    # of per-host device injection
+    _hp_stats = _global_stats
 
     def finish(self) -> None:
         self.flush()
-        self._inject_hp_bonus()
         jax.block_until_ready(self.state)
         self._check_spill()
         if self.backend == "table":
@@ -727,8 +656,9 @@ class ShardedKmerCounter:
             ):
                 self._step_buf(buf)
             self.elapsed += time.perf_counter() - t0
-            self.packer.stats = reader.stats
-            self._hp_injected = [0, 0, 0, 0]
+            from tsxcount_tpu.io.packer import add_stats
+
+            self.packer.stats = add_stats(self.packer.stats, reader.stats)
             self.finish()
         else:
             self.add_reads(rec.seq for rec in read_fastx(path))
@@ -760,7 +690,7 @@ class ShardedKmerCounter:
 
     @property
     def total_kmers(self) -> int:
-        st = self.packer.stats
+        st = self._global_stats()
         return st.windows + sum(st.hp_bonus)
 
     def get_counts(self, kmers: list[str]) -> list[int]:
@@ -784,6 +714,9 @@ class ShardedKmerCounter:
             m = min(_QUERY_BATCH, n - off)
             for i in range(m):
                 out.append(counts_to_int(*digits[i]) if found[i] else 0)
+        owed = self._hp_owed_query()
+        if owed:
+            out = [c + owed.get(s, 0) for s, c in zip(kmers, out)]
         return out
 
     def _shard_rows(self, arr, shard: int, rows: int) -> np.ndarray:
@@ -806,9 +739,18 @@ class ShardedKmerCounter:
         """Stream (kmer string, count), one shard at a time (bounded host
         memory: a shard's used prefix, not the global table, is resident)."""
         self._flush_merges(force=True)
+        owed = self._hp_owed_emit()
         if self.backend == "table":
-            yield from self._items_table()
-            return
+            src = self._items_table()
+        else:
+            src = self._items_sort()
+        for kmer_str, cnt in src:
+            yield kmer_str, cnt + (owed.pop(kmer_str, 0) if owed else 0)
+        for kmer_str, cnt in sorted(owed.items()):
+            if cnt:  # owed keys the store never saw (see HpBonusMixin)
+                yield kmer_str, cnt
+
+    def _items_sort(self):
         ns = self._gather(self.state.n)
         for shard in range(self.n_shards):
             n = int(ns[shard])
@@ -888,7 +830,7 @@ class ShardedKmerCounter:
         return res
 
     def stats(self) -> dict:
-        st = dataclasses.asdict(self.packer.stats)
+        st = dataclasses.asdict(self._global_stats())
         ns = self._gather(self.state.n)
         st.update(
             backend=self.backend,
