@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="debug: identity hash instead of random GF(2)")
     c.add_argument("--stats-json", action="store_true",
                    help="emit stats as one JSON line")
+    c.add_argument("--progress", type=int, default=0, metavar="N",
+                   help="print an ingest progress line to stderr every N "
+                        "batches (0 = off)")
     c.add_argument("--canonical", action="store_true",
                    help="count canonical kmers min(kmer, revcomp) — "
                         "beyond-reference feature, off by default for "
@@ -133,6 +136,7 @@ def cmd_count(args: argparse.Namespace) -> int:
         lsm_growth=args.lsm_growth,
         threads=args.threads,
         read_len_hint=args.read_len,
+        progress_every=args.progress,
     )
     hp_collapse = True if args.hp_collapse is None else args.hp_collapse
     if args.load_state:
@@ -159,6 +163,13 @@ def cmd_count(args: argparse.Namespace) -> int:
     print(f"k={args.k} l={args.l} s={args.s} mode={args.mode} "
           f"backend={counter.backend} shards={args.shards} "
           f"input={args.input}", file=sys.stderr)
+    if counter.backend == "table":
+        print(
+            "note: the table backend is the reference-semantics parity "
+            "path (slot encoding, reconstruction, probe histograms); the "
+            "sort backend (--mode SERIAL) is the speed path",
+            file=sys.stderr,
+        )
 
     import contextlib
 

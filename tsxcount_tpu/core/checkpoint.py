@@ -54,9 +54,11 @@ def save_counter(counter, path: str | Path) -> None:
     }
     if _is_sharded(counter):
         counter.flush()  # drain pending batches so state is authoritative
+        counter._collapse_lsm()  # LSM: everything lands in the top level
+        state = counter._read_state
         arrays = {
             f"state_{name}": counter._gather(val)
-            for name, val in counter.state._asdict().items()
+            for name, val in state._asdict().items()
         }
     else:
         counter._flush_pending()
@@ -159,16 +161,24 @@ def _load_sharded(meta, data, batch_words, devices):
         n_policy=meta["n_policy"], identity_hash=meta["identity_hash"],
         canonical=meta.get("canonical", False),
         collapse_homopolymers=meta.get("collapse_hp", True),
+        lsm=meta.get("lsm", False) or None,  # False -> auto (counter rule)
+        lsm_growth=meta.get("lsm_growth", 8),
+        merge_every=meta.get("merge_every", 4),
         max_reprobes=meta.get("max_reprobes") or 64,
         devices=devices,
     )
     _restore_hash(counter, data)
-    state_cls = type(counter.state)
+    ref_state = counter._read_state
+    state_cls = type(ref_state)
     sharding = NamedSharding(counter.mesh, P(SHARD_AXIS))
-    counter.state = state_cls(
+    loaded = state_cls(
         **{
             name: jax.device_put(data[f"state_{name}"], sharding)
-            for name in counter.state._fields
+            for name in ref_state._fields
         }
     )
+    if counter.lsm:
+        counter.state[-1] = loaded
+    else:
+        counter.state = loaded
     return counter

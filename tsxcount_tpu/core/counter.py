@@ -97,6 +97,35 @@ class TableFull(RuntimeError):
     (TSXHashMap.h:340-343)."""
 
 
+class IngestProgressMixin:
+    """Periodic in-run progress line (reference prints every 100k aborts,
+    TSXHashMapTSXPerf.h:541-544; the benchmark protocol records memory,
+    analyses/perform_analyses.py:64).  Enabled by progress_every > 0."""
+
+    progress_every: int = 0
+    _progress_t0 = None
+    _progress_last = 0
+
+    def _maybe_progress(self, stats_fn=None) -> None:
+        if not self.progress_every:
+            return
+        if self._progress_t0 is None:
+            self._progress_t0 = time.perf_counter()
+        if self.batches_processed - self._progress_last < self.progress_every:
+            return
+        self._progress_last = self.batches_processed
+        import sys
+
+        st = stats_fn() if stats_fn is not None else self.packer.stats
+        dt = max(1e-9, time.perf_counter() - self._progress_t0)
+        print(
+            f"progress: batches={self.batches_processed} reads={st.reads} "
+            f"windows={st.windows} ({st.windows / dt / 1e6:.1f}M win/s) "
+            f"packed_mb={st.packed_words * 4 / 2**20:.0f}",
+            file=sys.stderr, flush=True,
+        )
+
+
 class HpBonusMixin:
     """Read-time application of homopolymer-collapse bonus counts.
 
@@ -141,7 +170,7 @@ class HpBonusMixin:
         return out
 
 
-class KmerCounter(HpBonusMixin):
+class KmerCounter(HpBonusMixin, IngestProgressMixin):
     def __init__(
         self,
         k: int,
@@ -162,6 +191,7 @@ class KmerCounter(HpBonusMixin):
         prefetch_depth: int = 3,
         read_len_hint: int = 0,
         collapse_homopolymers: bool = True,
+        progress_every: int = 0,
     ):
         if backend in MODE_TO_BACKEND:
             backend = MODE_TO_BACKEND[backend]
@@ -244,6 +274,10 @@ class KmerCounter(HpBonusMixin):
         self._build_ingest()
         self.batches_processed = 0
         self.elapsed = 0.0
+        # periodic in-run progress (reference prints every 100k aborts,
+        # TSXHashMapTSXPerf.h:541-544): one stderr line every N batches
+        self.progress_every = max(0, progress_every)
+        self._progress_t0 = None
 
     def _build_ingest(self) -> None:
         """(Re)build everything that depends on the batch geometry: the
@@ -372,7 +406,7 @@ class KmerCounter(HpBonusMixin):
         # per batch.  Runs on the producer thread under prefetch().
         return jax.device_put(pb.buf)
 
-    def _consume_bufs(self, bufs) -> None:
+    def _consume_bufs(self, bufs, stats_fn=None) -> None:
         """Dispatch device steps over an iterator of device buffers."""
         t0 = time.perf_counter()
         for buf in bufs:
@@ -383,7 +417,9 @@ class KmerCounter(HpBonusMixin):
             else:
                 self.state = self._step(self.state, buf)
             self.batches_processed += 1
+            self._maybe_progress(stats_fn)
         self.elapsed += time.perf_counter() - t0
+
 
     def _consume(self, batches: Iterator[PackedBatch]) -> None:
         self._consume_bufs(self._put(pb) for pb in batches)
@@ -449,7 +485,8 @@ class KmerCounter(HpBonusMixin):
             # parse + pack + H2D on background thread(s); device dispatch
             # on this one — the overlapped steady-state pipeline
             self._consume_bufs(
-                prefetch(iter(reader), self._put, depth=self.prefetch_depth)
+                prefetch(iter(reader), self._put, depth=self.prefetch_depth),
+                stats_fn=reader.live_stats,
             )
             self._flush_pending()
             # accumulate the native reader's ingest stats (prior add_reads

@@ -119,17 +119,37 @@ class QuotientTable:
             key_g = keys[pos]
             match = unresolved & used_g & keys_equal(key_g, slotkey)
             empty = unresolved & ~used_g
-            # deterministic claim: lowest contender index wins the slot
-            claims = jnp.full((s,), p, jnp.int32).at[pos].min(
-                jnp.where(empty, idx_arr, p)
+            # deterministic claim, scatter-free: sort contenders by
+            # (slot, row); the first row of each slot run wins.  O(P log P)
+            # on the batch instead of an O(2^L) claims array, and the map
+            # back to row order is a permutation scatter.  Same semantics
+            # as the reference's CAS arbitration (TSXHashMapCAS.h:268-508):
+            # exactly one contender claims a slot, losers re-probe.
+            ckey = jnp.where(empty, pos, s).astype(jnp.uint32)
+            ckey_s, idx_s = jax.lax.sort((ckey, idx_arr), num_keys=2)
+            first = jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), ckey_s[1:] != ckey_s[:-1]]
             )
-            winner = empty & (claims[pos] == idx_arr)
+            win_s = first & (ckey_s < s)
+            winner = jnp.zeros((p,), jnp.bool_).at[idx_s].set(
+                win_s, unique_indices=True
+            )
             upd = match | winner
-            safe_upd = jnp.where(upd, pos, s)       # s = OOB -> dropped
-            safe_win = jnp.where(winner, pos, s)
-            digits = digits.at[safe_upd].add(add_digits, mode="drop")
-            keys = keys.at[safe_win].set(slotkey, mode="drop")
-            used = used.at[safe_win].set(True, mode="drop")
+            # every scatter below has provably unique indices (winner slots
+            # are distinct, match slots are distinct keys, and non-updated
+            # rows get distinct out-of-bounds indices s+i that drop), which
+            # lets XLA vectorize them instead of serializing
+            safe_upd = jnp.where(upd, pos, s + idx_arr)
+            safe_win = jnp.where(winner, pos, s + idx_arr)
+            digits = digits.at[safe_upd].add(
+                add_digits, mode="drop", unique_indices=True
+            )
+            keys = keys.at[safe_win].set(
+                slotkey, mode="drop", unique_indices=True
+            )
+            used = used.at[safe_win].set(
+                True, mode="drop", unique_indices=True
+            )
             n = n + jnp.sum(winner.astype(jnp.int32))
             hist = jax.lax.dynamic_update_index_in_dim(
                 hist, hist[r] + jnp.sum(upd.astype(jnp.int32)), r, axis=0

@@ -263,6 +263,19 @@ class NativeFileReader:
         finally:
             self._finalize_stats()
 
+    def live_stats(self) -> PackStats:
+        """Point-in-time ingest stats while streaming (progress reporting);
+        handles stay open.  After iteration completes, .stats is final."""
+        from tsxcount_tpu.io.packer import add_stats
+
+        if not self._handles:
+            return self.stats
+        total = PackStats()
+        for h in self._handles:
+            total = add_stats(total, h.stats())
+        total.batches = self.stats.batches
+        return total
+
     def _finalize_stats(self):
         if not self._handles:
             return

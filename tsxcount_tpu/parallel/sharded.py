@@ -44,7 +44,12 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from tsxcount_tpu.config import BatchSpec, KmerSpec, counts_to_int
-from tsxcount_tpu.core.counter import _QUERY_BATCH, HpBonusMixin, TableFull
+from tsxcount_tpu.core.counter import (
+    _QUERY_BATCH,
+    HpBonusMixin,
+    IngestProgressMixin,
+    TableFull,
+)
 from tsxcount_tpu.core.store import CountStore, StoreState
 from tsxcount_tpu.io.fastx import read_fastx
 from tsxcount_tpu.io.packer import PackedBatch, ReadPacker
@@ -137,7 +142,7 @@ def _grouped(batches: Iterator[PackedBatch], n: int,
         yield group
 
 
-class ShardedKmerCounter(HpBonusMixin):
+class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
     """KmerCounter-compatible API over an N-device shard mesh."""
 
     def __init__(
@@ -157,14 +162,15 @@ class ShardedKmerCounter(HpBonusMixin):
         max_reprobes: int = 64,
         canonical: bool = False,
         merge_every: int = 4,
-        lsm: bool | None = None,  # accepted for API parity (per-shard stores
-        lsm_growth: int = 8,  # are capacity-bounded; see KmerCounter)
+        lsm: bool | None = None,
+        lsm_growth: int = 8,
         threads: int = 0,
         prefetch_depth: int = 3,
         read_len_hint: int = 0,
         collapse_homopolymers: bool = True,
+        progress_every: int = 0,
     ):
-        del lsm, lsm_growth
+        self.progress_every = max(0, progress_every)
         self.threads = threads if threads > 0 else 1
         self.prefetch_depth = max(1, prefetch_depth)
         from tsxcount_tpu.core.counter import MODE_TO_BACKEND
@@ -213,6 +219,36 @@ class ShardedKmerCounter(HpBonusMixin):
         align = 16384 if cap >= 16384 else 1024
         self.route_cap = -(-cap // align) * align
 
+        # per-shard LSM cascade (same auto-engage rule and schedule as the
+        # single-chip store, core/counter.py + core/lsm.py): batch-flush
+        # merges land in a small L0 per shard and cascade geometrically,
+        # so long streams at cap_per_shard >> one flush stop paying the
+        # O(cap_per_shard) re-sort per flush.  The cascade counter is
+        # host-side deterministic integer math, identical on every process,
+        # so each level is just another shard_map'd store state.
+        self.lsm = False
+        if self.backend == "sort":
+            flush_rows = self.merge_every * n_shards * self.route_cap
+            auto_lsm = (
+                cap_per_shard * (lsm_growth - 1)
+                > lsm_growth ** 2 * flush_rows
+            )
+            use_lsm = auto_lsm if lsm is None else lsm
+            if use_lsm and cap_per_shard > flush_rows * lsm_growth:
+                base_cap = -(-flush_rows // align) * align
+                caps = [base_cap]
+                while caps[-1] * lsm_growth < cap_per_shard:
+                    caps.append(caps[-1] * lsm_growth)
+                caps.append(cap_per_shard)
+                self.lsm = True
+                self.lsm_growth = int(lsm_growth)
+                self._lsm_stores = [
+                    CountStore(self.spec, c) for c in caps
+                ]  # _backend_obj stays the TOP store (the read side);
+                # merges target _lsm_stores[0]
+                self._lsm_fill = max(1, base_cap // flush_rows)
+                self._lsm_flushes = 0
+
         # homopolymer run-length collapse at ingest (io/packer.py); the
         # elided window counts are applied at READ time from the GLOBAL
         # (cross-process-summed) ingest stats — see core/counter.py's
@@ -235,6 +271,30 @@ class ShardedKmerCounter(HpBonusMixin):
         canonical, spec, hash_fn = self.canonical, self.spec, self.hash_fn
         self._prep_queries = jax.jit(
             lambda q: hash_fn.apply(canonicalize(q, spec) if canonical else q)
+        )
+        if self.lsm:
+            self._absorbs = [
+                jax.jit(self._make_absorb(i), donate_argnums=(0,))
+                for i in range(len(self._lsm_stores) - 1)
+            ]
+
+    def _make_absorb(self, i: int):
+        """shard_map'd CountStore.absorb of level i into level i+1."""
+        upper = self._lsm_stores[i + 1]
+
+        def local_absorb(top, lower):
+            new = upper.absorb(
+                _unwrap_scalars(top), _unwrap_scalars(lower)
+            )
+            return _wrap_scalars(new)
+
+        specs = _state_specs(self._state_cls)
+        return shard_map(
+            local_absorb,
+            mesh=self.mesh,
+            in_specs=(specs, specs),
+            out_specs=specs,
+            check_vma=False,
         )
 
     def _adapt_read_len(self, read_lens) -> None:
@@ -266,15 +326,20 @@ class ShardedKmerCounter(HpBonusMixin):
 
         return TableState if self.backend == "table" else StoreState
 
-    def _init_state(self):
+    def _init_level(self, store):
         init = shard_map(
-            lambda: _wrap_scalars(self._backend_obj.init_state()),
+            lambda: _wrap_scalars(store.init_state()),
             mesh=self.mesh,
             in_specs=(),
             out_specs=_state_specs(self._state_cls),
         )
         # scalars become per-shard vectors of length n_shards
         return jax.jit(init)()
+
+    def _init_state(self):
+        if self.lsm:
+            return [self._init_level(s) for s in self._lsm_stores]
+        return self._init_level(self._backend_obj)
 
     def _make_step(self):
         """The routing step: extract -> hash -> dedupe -> slice -> exchange.
@@ -378,7 +443,11 @@ class ShardedKmerCounter(HpBonusMixin):
         spec = self.spec
         r_groups = self.merge_every
         backend = self.backend
-        backend_obj = self._backend_obj
+        # LSM: batch flushes land in the small L0 store; the cascade to
+        # higher levels is driven by _flush_merges
+        backend_obj = (
+            self._lsm_stores[0] if self.lsm else self._backend_obj
+        )
 
         def local_merge(state, keys_list, counts_list, lens_list):
             keys = jnp.concatenate(keys_list, axis=0)     # [R*n, cap, lanes]
@@ -484,6 +553,7 @@ class ShardedKmerCounter(HpBonusMixin):
         self._pending_recv.append((recv_keys, recv_counts, recv_lens))
         self._spills.append(spill)
         self.batches_processed += self.n_shards
+        self._maybe_progress(getattr(self, "_live_stats_fn", None))
         if len(self._pending_recv) >= self.merge_every:
             self._flush_merges()
 
@@ -501,12 +571,35 @@ class ShardedKmerCounter(HpBonusMixin):
                 (filler[0], filler[1], jnp.zeros_like(filler[2]))
             ] * (self.merge_every - len(pend))
         self._pending_recv = []
-        self.state = self._merge(
-            self.state,
-            [p[0] for p in pend],
-            [p[1] for p in pend],
-            [p[2] for p in pend],
-        )
+        if self.lsm:
+            # merge into L0, then cascade full levels upward (the same
+            # deterministic host-side schedule as core/lsm.py
+            # merge_stacked: level i absorbs into i+1 every
+            # fill * growth^i flushes)
+            self.state[0] = self._merge(
+                self.state[0],
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+                [p[2] for p in pend],
+            )
+            self._lsm_flushes += 1
+            period = self._lsm_fill
+            for i in range(len(self._lsm_stores) - 1):
+                if self._lsm_flushes % period == 0:
+                    self.state[i + 1] = self._absorbs[i](
+                        self.state[i + 1], self.state[i]
+                    )
+                    self.state[i] = self._init_level(self._lsm_stores[i])
+                else:
+                    break
+                period *= self.lsm_growth
+        else:
+            self.state = self._merge(
+                self.state,
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+                [p[2] for p in pend],
+            )
 
     def _dispatch_pending(self, force: bool = False) -> None:
         if not self._pending:
@@ -545,6 +638,8 @@ class ShardedKmerCounter(HpBonusMixin):
         """Clear all counts/ingest stats but keep the compiled device
         programs (fresh-store warm benches and reuse without re-jitting)."""
         self.state = self._init_state()
+        if self.lsm:
+            self._lsm_flushes = 0
         self.packer = ReadPacker(
             self.batch, n_policy=self.n_policy, seed=self.seed,
             collapse=self.collapse_hp,
@@ -562,6 +657,24 @@ class ShardedKmerCounter(HpBonusMixin):
         self._pending.extend(self.packer.finish())
         self._dispatch_pending(force=True)
         self._flush_merges(force=True)
+
+    def _collapse_lsm(self) -> None:
+        """Absorb every LSM level into the top level (reads/exports see
+        one authoritative store; exact, like core/lsm.py collapse)."""
+        if not self.lsm:
+            return
+        for i in range(len(self._lsm_stores) - 1):
+            self.state[i + 1] = self._absorbs[i](
+                self.state[i + 1], self.state[i]
+            )
+            self.state[i] = self._init_level(self._lsm_stores[i])
+        self._lsm_flushes = 0
+
+    @property
+    def _read_state(self):
+        """The authoritative store state for reads (top LSM level after
+        _collapse_lsm, or the flat state)."""
+        return self.state[-1] if self.lsm else self.state
 
     def _check_spill(self) -> None:
         if not self._spills:
@@ -591,7 +704,8 @@ class ShardedKmerCounter(HpBonusMixin):
 
         vec = np.asarray(
             [st.reads, st.reads_skipped, st.bases, st.n_bases, st.windows,
-             st.batches, *st.hp_bonus, st.hp_collapsed_bases],
+             st.batches, *st.hp_bonus, st.hp_collapsed_bases,
+             st.packed_words],
             np.int64,
         )
         tot = np.asarray(
@@ -602,6 +716,7 @@ class ShardedKmerCounter(HpBonusMixin):
             n_bases=int(tot[3]), windows=int(tot[4]), batches=int(tot[5]),
             hp_bonus=tuple(int(x) for x in tot[6:10]),
             hp_collapsed_bases=int(tot[10]),
+            packed_words=int(tot[11]),
         )
 
     # read-time homopolymer bonus (HpBonusMixin): derived from the GLOBAL
@@ -621,11 +736,15 @@ class ShardedKmerCounter(HpBonusMixin):
                     f"{self.table.max_reprobes} reprobes in a table shard; "
                     f"increase --l"
                 )
-        elif bool(np.any(self._gather(self.state.overflowed))):
-            raise TableFull(
-                f"a table shard exceeded capacity 2^{self.l}/{self.n_shards}; "
-                f"rerun with larger --l"
-            )
+        else:
+            levels = self.state if self.lsm else [self.state]
+            if any(
+                bool(np.any(self._gather(st.overflowed))) for st in levels
+            ):
+                raise TableFull(
+                    f"a table shard exceeded capacity "
+                    f"2^{self.l}/{self.n_shards}; rerun with larger --l"
+                )
 
     def count_file(self, path: str | Path,
                    use_native: bool | None = None) -> None:
@@ -650,11 +769,15 @@ class ShardedKmerCounter(HpBonusMixin):
                 threads=self.threads, collapse=self.collapse_hp,
             )
             t0 = time.perf_counter()
+            self._live_stats_fn = reader.live_stats
             groups = _grouped(iter(reader), self._local_shards, self.batch)
-            for buf in prefetch(
-                groups, self._put_group, depth=self.prefetch_depth
-            ):
-                self._step_buf(buf)
+            try:
+                for buf in prefetch(
+                    groups, self._put_group, depth=self.prefetch_depth
+                ):
+                    self._step_buf(buf)
+            finally:
+                self._live_stats_fn = None
             self.elapsed += time.perf_counter() - t0
             from tsxcount_tpu.io.packer import add_stats
 
@@ -686,7 +809,8 @@ class ShardedKmerCounter(HpBonusMixin):
     @property
     def distinct(self) -> int:
         self._flush_merges(force=True)
-        return int(np.sum(self._gather(self.state.n)))
+        self._collapse_lsm()
+        return int(np.sum(self._gather(self._read_state.n)))
 
     @property
     def total_kmers(self) -> int:
@@ -697,6 +821,7 @@ class ShardedKmerCounter(HpBonusMixin):
         if not kmers:
             return []
         self._flush_merges(force=True)
+        self._collapse_lsm()
         keys = strings_to_kmers(kmers, self.spec)
         out: list[int] = []
         n = len(kmers)
@@ -708,7 +833,7 @@ class ShardedKmerCounter(HpBonusMixin):
                     [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0
                 )
             hashed = self._prep_queries(jnp.asarray(chunk))
-            digits, found = self._lookup(self.state, hashed)
+            digits, found = self._lookup(self._read_state, hashed)
             digits = np.asarray(jax.device_get(digits))
             found = np.asarray(jax.device_get(found))
             m = min(_QUERY_BATCH, n - off)
@@ -739,6 +864,7 @@ class ShardedKmerCounter(HpBonusMixin):
         """Stream (kmer string, count), one shard at a time (bounded host
         memory: a shard's used prefix, not the global table, is resident)."""
         self._flush_merges(force=True)
+        self._collapse_lsm()
         owed = self._hp_owed_emit()
         if self.backend == "table":
             src = self._items_table()
@@ -751,14 +877,15 @@ class ShardedKmerCounter(HpBonusMixin):
                 yield kmer_str, cnt
 
     def _items_sort(self):
-        ns = self._gather(self.state.n)
+        state = self._read_state
+        ns = self._gather(state.n)
         for shard in range(self.n_shards):
             n = int(ns[shard])
             if n == 0:
                 continue
             # stores hold hashed keys; export inverse-maps them
-            keys = self._shard_rows(self.state.keys, shard, n)
-            digits = self._shard_rows(self.state.digits, shard, n)
+            keys = self._shard_rows(state.keys, shard, n)
+            digits = self._shard_rows(state.digits, shard, n)
             kmers = self.hash_fn.inv_apply_host(keys)
             strings = kmers_to_strings(kmers, self.spec)
             for i, kmer_str in enumerate(strings):
@@ -831,7 +958,9 @@ class ShardedKmerCounter(HpBonusMixin):
 
     def stats(self) -> dict:
         st = dataclasses.asdict(self._global_stats())
-        ns = self._gather(self.state.n)
+        self._flush_merges(force=True)
+        self._collapse_lsm()
+        ns = self._gather(self._read_state.n)
         st.update(
             backend=self.backend,
             k=self.spec.k,
