@@ -65,6 +65,57 @@ def test_count_unique_pallas_path_matches_xla(lanes, k):
     np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
 
 
+@pytest.mark.parametrize("lanes,k", [(2, 31), (3, 48), (4, 63), (8, 127)])
+def test_count_unique_uniform_prefix_matches_full_sort(lanes, k):
+    """The 64-bit-prefix dedupe sort (hashed-key fast path) must agree
+    with the full multi-key sort on uniformly distributed keys."""
+    spec = KmerSpec(k)
+    rng = np.random.default_rng(7 + lanes)
+    p = 2048
+    kmers = _random_kmer_batch(rng, p, spec.lanes, spec.top_lane_mask,
+                               vocab=200)
+    valid = rng.random(p) < 0.85
+    kj, vj = jnp.asarray(kmers), jnp.asarray(valid)
+    ref = count_unique(kj, vj, spec=spec)
+    got = count_unique(kj, vj, spec=spec, uniform_prefix=True)
+    n = int(ref.n_unique)
+    assert int(got.n_unique) == n
+    np.testing.assert_array_equal(
+        np.asarray(got.keys)[:n], np.asarray(ref.keys)[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.counts)[:n], np.asarray(ref.counts)[:n]
+    )
+
+
+def test_count_unique_uniform_prefix_collision_fallback():
+    """Distinct keys that share the whole 64-bit prefix force the exact
+    cond fallback — counts must still be correct."""
+    spec = KmerSpec(63)  # 4 lanes, top_lane_bits=30 (flag in-lane)
+    rng = np.random.default_rng(3)
+    p = 256
+    kmers = _random_kmer_batch(rng, p, spec.lanes, spec.top_lane_mask,
+                               vocab=40)
+    # two distinct keys, equal in the top TWO lanes (the sort prefix),
+    # differing only in lane 0 — a deliberate prefix collision
+    a = np.array([1, 2, 3, 4], np.uint32)
+    b = np.array([9, 2, 3, 4], np.uint32)
+    kmers[10] = kmers[100] = kmers[200] = a
+    kmers[11] = kmers[150] = b
+    valid = np.ones(p, bool)
+    ref = count_unique(jnp.asarray(kmers), jnp.asarray(valid), spec=spec)
+    got = count_unique(jnp.asarray(kmers), jnp.asarray(valid), spec=spec,
+                       uniform_prefix=True)
+    n = int(ref.n_unique)
+    assert int(got.n_unique) == n
+    np.testing.assert_array_equal(
+        np.asarray(got.keys)[:n], np.asarray(ref.keys)[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.counts)[:n], np.asarray(ref.counts)[:n]
+    )
+
+
 def test_count_unique_pallas_all_and_none_valid():
     spec = KmerSpec(14)
     p = 4096

@@ -9,16 +9,35 @@ from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
 from tests.test_packer import naive_kmers, rand_reads
 
 
-@pytest.mark.parametrize("n_shards", [2, 8])
+@pytest.mark.parametrize("n_shards", [1, 2, 8])
 def test_sharded_matches_naive(n_shards):
     rng = np.random.default_rng(n_shards)
     reads = rand_reads(rng, 60, 5, 120)
     counter = ShardedKmerCounter(
         k=9, n_shards=n_shards, l=14, batch_words=32
     )
+    # n_shards == 1 runs the raw-key degenerate path (no routing hash)
+    assert counter.hashed_store == (n_shards > 1)
     counter.add_reads(reads)
     counter.finish()
     assert counter.to_dict() == dict(naive_kmers(reads, 9))
+
+
+def test_one_shard_raw_mode_checkpoint_and_queries(tmp_path):
+    from tsxcount_tpu.core.checkpoint import load_counter, save_counter
+
+    rng = np.random.default_rng(9)
+    reads = rand_reads(rng, 30, 10, 90)
+    counter = ShardedKmerCounter(k=9, n_shards=1, l=14, batch_words=32)
+    counter.add_reads(reads)
+    counter.finish()
+    want = naive_kmers(reads, 9)
+    some = list(want)[:20] + ["G" * 9]
+    assert counter.get_counts(some) == [want.get(km, 0) for km in some]
+    path = tmp_path / "one.npz"
+    save_counter(counter, path)
+    resumed = load_counter(path, batch_words=32)
+    assert resumed.to_dict() == dict(want)
 
 
 def test_sharded_multiword_keys():

@@ -41,6 +41,7 @@ def save_counter(counter, path: str | Path) -> None:
         "identity_hash": counter.hash_fn.identity,
         "canonical": counter.canonical,
         "collapse_hp": getattr(counter, "collapse_hp", True),
+        "hash_first": getattr(counter, "hash_first", False),
         "stats": dataclasses.asdict(counter.packer.stats),
         "batches_processed": counter.batches_processed,
         "lsm": getattr(counter, "lsm", False),
@@ -118,6 +119,7 @@ def _load_single(meta, data, batch_words):
         identity_hash=meta["identity_hash"],
         canonical=meta.get("canonical", False),
         collapse_homopolymers=meta.get("collapse_hp", True),
+        hash_first=meta.get("hash_first", False),
         lsm=meta.get("lsm", False),
         lsm_growth=meta.get("lsm_growth", 8),
         merge_every=meta.get("merge_every", 4),

@@ -192,6 +192,7 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         read_len_hint: int = 0,
         collapse_homopolymers: bool = True,
         progress_every: int = 0,
+        hash_first: bool | None = None,
     ):
         if backend in MODE_TO_BACKEND:
             backend = MODE_TO_BACKEND[backend]
@@ -199,6 +200,21 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
             raise ValueError(f"backend must be one of {BACKENDS} or a "
                              f"reference mode {sorted(MODE_TO_BACKEND)}")
         self.spec = KmerSpec(k)
+        # hash-first dedupe (SURVEY §7 hard-part #1): apply the bijective
+        # GF(2) hash BEFORE dedupe and sort on a 64-bit uniform prefix
+        # with the other lanes as payload (ops/count.py
+        # _sort_uniform_prefix) — the store then holds hashed keys and
+        # exports inverse-map, exactly like the sharded path.  Pays off
+        # when the dedupe sort has many operands; auto = lanes >= 4
+        # (k >= 49).  Requires a real (non-identity) hash for uniformity.
+        if hash_first is None:
+            hash_first = (
+                backend == "sort" and self.spec.lanes >= 4
+                and not identity_hash
+            )
+        self.hash_first = bool(
+            hash_first and backend == "sort" and not identity_hash
+        )
         # read_len_hint sizes the interval-coded validity budget (see
         # BatchSpec.max_intervals); 0 = auto-detect from the first read
         self._auto_hint = read_len_hint == 0
@@ -294,20 +310,28 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
             # amortizes the O(capacity) re-sort across R batches
             batch = self.batch
             canonical = self.canonical
+            hash_first = self.hash_first
+            hash_fn = self.hash_fn
 
             def dedupe(buf):
                 # buf = [words | validity intervals]: ONE H2D transfer per
                 # batch; static slices are free under jit
                 words = buf[: batch.total_words]
-                if canonical:
-                    kmers = canonicalize(extract_kmers(words, batch),
-                                         batch.spec)
+                if canonical or hash_first:
+                    kmers = extract_kmers(words, batch)
+                    if canonical:
+                        kmers = canonicalize(kmers, batch.spec)
+                    if hash_first:
+                        kmers = hash_fn.apply(kmers)
                 else:
                     # lane columns feed the sort directly (no [P, lanes]
                     # stack/transpose materialization)
                     kmers = extract_kmer_cols(words, batch)
                 valid = intervals_to_valid(buf[batch.total_words :], batch)
-                uc = count_unique(kmers, valid, spec=batch.spec)
+                uc = count_unique(
+                    kmers, valid, spec=batch.spec,
+                    uniform_prefix=hash_first,
+                )
                 return uc.keys, uc.counts, uc.valid
 
             self._dedupe = jax.jit(dedupe)
@@ -535,6 +559,8 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
             keys = np.asarray(
                 jax.jit(lambda x: canonicalize(x, self.spec))(jnp.asarray(keys))
             )
+        if self.hash_first:  # the store holds hashed keys
+            keys = self.hash_fn.apply_host(np.asarray(keys))
         out: list[int] = []
         n = len(kmers)
         for off in range(0, n, _QUERY_BATCH):
@@ -566,6 +592,8 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         self._collapse_if_lsm()
         if self.backend == "sort":
             keys, counts, n = self.store.to_host(self.state)
+            if self.hash_first and n:
+                keys = self.hash_fn.inv_apply_host(keys)
         else:
             keys, counts, n = self.table.to_host(self.state)
         strings = kmers_to_strings(keys, self.spec)

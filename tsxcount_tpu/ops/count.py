@@ -127,11 +127,55 @@ def _pallas_compactable(p: int) -> bool:
     return p % DEFAULT_TILE == 0 and jax.default_backend() == "tpu"
 
 
+def _sort_uniform_prefix(ops: tuple, spec: KmerSpec) -> tuple:
+    """Sort rows of bijectively-HASHED keys by a >=64-bit uniform prefix,
+    with the remaining lanes riding as sort payload (SURVEY §7 hard-part
+    #1: radix on uniform hash bits so the comparator runs on 2 columns
+    instead of lanes+1).
+
+    Exactness: two EQUAL keys agree on every column, so they still land in
+    one run.  Two DISTINCT keys that collide in the whole prefix would
+    corrupt run boundaries — but the prefix is uniform (bijective GF(2)
+    image), so a within-batch collision has probability ~P^2/2^65; it is
+    DETECTED exactly (adjacent rows equal in the key columns but differing
+    in a payload column) and handled by a lax.cond fallback to the full
+    multi-key sort.  Both branches compile; the fallback virtually never
+    executes.
+    """
+    # 64 uniform hash bits must be comparator keys: 2 lanes when the flag
+    # shares the top lane, flag column + 2 lanes otherwise
+    nk = 2 if spec.top_lane_bits < 32 else 3
+    if len(ops) <= nk:
+        return jax.lax.sort(ops, num_keys=len(ops))
+    sorted_pre = jax.lax.sort(ops, num_keys=nk)
+    same = sorted_pre[0][1:] == sorted_pre[0][:-1]
+    for op in sorted_pre[1:nk]:
+        same = same & (op[1:] == op[:-1])
+    diff = sorted_pre[nk][1:] != sorted_pre[nk][:-1]
+    for op in sorted_pre[nk + 1 :]:
+        diff = diff | (op[1:] != op[:-1])
+    # only pairs of VALID rows matter: invalid rows are dedupe garbage
+    # either way (flag rides the first key column, so a valid/invalid
+    # pair can never be `same`)
+    if spec.top_lane_bits < 32:
+        row_valid = (sorted_pre[0][:-1] >> spec.top_lane_bits) == 0
+    else:
+        row_valid = sorted_pre[0][:-1] == 0
+    collide = jnp.any(same & diff & row_valid)
+    return jax.lax.cond(
+        collide,
+        lambda o: jax.lax.sort(o, num_keys=len(o)),
+        lambda o: sorted_pre,
+        ops,
+    )
+
+
 def count_unique(kmers, valid: jax.Array,
                  weights: jax.Array | None = None,
                  spec: KmerSpec | None = None,
                  max_multiplicity: int | None = None,
-                 force_pallas: bool | None = None) -> UniqueCounts:
+                 force_pallas: bool | None = None,
+                 uniform_prefix: bool = False) -> UniqueCounts:
     """Exact histogram of the valid rows of `kmers`.
 
     kmers: (P, lanes) array, or a sequence of per-lane columns (lsb lane
@@ -141,6 +185,9 @@ def count_unique(kmers, valid: jax.Array,
     weights, max_multiplicity bounds how many rows can share one key
     (drives the log-step segmented sum); without, counts are adjacent
     differences of boundary positions (no scan at all).
+    uniform_prefix: keys are bijectively hashed (uniform bits) — sort on
+    a 64-bit prefix with the remaining lanes as payload and an exact
+    collision fallback (_sort_uniform_prefix).  No-weights paths only.
     """
     if isinstance(kmers, (list, tuple)):
         lanes = len(kmers)
@@ -157,12 +204,16 @@ def count_unique(kmers, valid: jax.Array,
         _pallas_compactable(p) if force_pallas is None else force_pallas
     )
 
+    sort_ops = (
+        (lambda o: _sort_uniform_prefix(o, spec)) if uniform_prefix
+        else (lambda o: jax.lax.sort(o, num_keys=len(o)))
+    )
     if weights is None and use_pallas:
         # TPU fast path: the boundary-row compaction (the second full
         # lax.sort of the XLA path below) becomes one linear Pallas pass
         from tsxcount_tpu.ops.pallas_compact import compact_flagged
 
-        ops_sorted = jax.lax.sort(ops, num_keys=len(ops))
+        ops_sorted = sort_ops(ops)
         flag = _boundary_flags(ops_sorted)
         arange = jnp.arange(p, dtype=jnp.int32)
         rep = compact_flagged(
@@ -180,7 +231,7 @@ def count_unique(kmers, valid: jax.Array,
         inv_sorted0 = _invalid_bits(ops_sorted[0], ops_sorted, spec)
         n_unique = jnp.sum(flag & ~inv_sorted0, dtype=jnp.int32)
     elif weights is None:
-        ops_sorted = jax.lax.sort(ops, num_keys=len(ops))
+        ops_sorted = sort_ops(ops)
         flag = _boundary_flags(ops_sorted)
         pos, rep = compact_rows(flag, ops_sorted)
         pos_next = jnp.concatenate([pos[1:], jnp.full((1,), p, jnp.int32)])

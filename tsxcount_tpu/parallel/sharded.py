@@ -189,6 +189,12 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
         self.canonical = canonical
         self.mesh = make_shard_mesh(n_shards, devices=devices)
         self.hash_fn = GF2Hash(self.spec, seed=hash_seed, identity=identity_hash)
+        # n_shards == 1 degenerate: ownership is trivially shard 0, so the
+        # per-position bijective hash buys nothing — store RAW keys and the
+        # pipeline matches the single-chip counter (queries/exports skip
+        # the hash/inverse too).  The table backend still hashes: its slot
+        # addressing needs uniform low bits (TSXHashMap.h:759-778 analog).
+        self.hashed_store = n_shards > 1 or self.backend == "table"
         # owner-side runs are merged in deferred groups of merge_every
         # batches (sort backend); the table backend resolves every batch
         # (its insert cost is per-round, not per-capacity)
@@ -269,8 +275,13 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
         self._merge = jax.jit(self._make_merge(), donate_argnums=(0,))
         self._lookup = jax.jit(self._make_lookup())
         canonical, spec, hash_fn = self.canonical, self.spec, self.hash_fn
+        hashed_store = self.hashed_store
         self._prep_queries = jax.jit(
-            lambda q: hash_fn.apply(canonicalize(q, spec) if canonical else q)
+            lambda q: (
+                hash_fn.apply(canonicalize(q, spec) if canonical else q)
+                if hashed_store
+                else (canonicalize(q, spec) if canonical else q)
+            )
         )
         if self.lsm:
             self._absorbs = [
@@ -357,6 +368,7 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
         hash_fn = self.hash_fn
         canonical = self.canonical
         lanes = spec.lanes
+        hashed_store = self.hashed_store
 
         def local_step(buf):
             # local slices keep a singleton leading shard axis; drop it.
@@ -368,10 +380,16 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
                 kmers = canonicalize(kmers, spec)
             # bijective hash BEFORE dedupe: equal kmers <=> equal hashes,
             # and the dedupe sort then doubles as the routing sort (owners
-            # are a range partition of the top hash bits)
-            hashed = hash_fn.apply(kmers)
+            # are a range partition of the top hash bits).  1-shard raw
+            # mode: every row is owned by shard 0, no hash needed.
+            hashed = hash_fn.apply(kmers) if hashed_store else kmers
             valid = intervals_to_valid(buf[batch.total_words :], batch)
-            uc = count_unique(hashed, valid, spec=spec)
+            # hashed keys are uniform -> the dedupe sort can run on a
+            # 64-bit prefix with the other lanes as payload (exact via
+            # collision fallback) — the k>=63 multi-lane sort saver
+            uc = count_unique(
+                hashed, valid, spec=spec, uniform_prefix=hashed_store
+            )
             p = uc.keys.shape[0]
 
             owner = owner_of_hash(uc.keys[:, -1], spec, n_shards)
@@ -886,7 +904,10 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
             # stores hold hashed keys; export inverse-maps them
             keys = self._shard_rows(state.keys, shard, n)
             digits = self._shard_rows(state.digits, shard, n)
-            kmers = self.hash_fn.inv_apply_host(keys)
+            kmers = (
+                self.hash_fn.inv_apply_host(keys)
+                if self.hashed_store else keys
+            )
             strings = kmers_to_strings(kmers, self.spec)
             for i, kmer_str in enumerate(strings):
                 yield kmer_str, counts_to_int(*digits[i])
