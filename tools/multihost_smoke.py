@@ -65,18 +65,14 @@ def worker_main() -> int:
     if pid == 0:
         print(f"worker0: input mode={mode}, per-host reads="
               f"{all_reads.tolist()} (total {total_reads})")
-    # stats require cross-process reads of non-addressable shards; use
-    # process_allgather for the distinct total
-    from jax.experimental import multihost_utils
-
-    import numpy as np
-
-    local_n = np.asarray(jax.device_get(
-        counter.state.n.addressable_shards[0].data
-    ))
-    totals = multihost_utils.process_allgather(local_n)
-    distinct = int(np.sum(totals))
+    # stats() is GLOBAL now (cross-process ingest-stat sum + shard gather):
+    # assert reads/windows/distinct directly from it, no workarounds
+    st = counter.stats()
+    assert st["reads"] == total_reads, (st["reads"], total_reads)
     golden = json.loads(Path(os.environ["SMOKE_GOLDEN"]).read_text())
+    assert st["windows"] + sum(st["hp_bonus"]) == sum(golden.values())
+    assert counter.total_kmers == sum(golden.values())
+    distinct = st["distinct_kmers"]
     # SPMD: every process must execute the same computations (the lookup is
     # a collective program); only worker 0 reports
     assert distinct == len(golden), (distinct, len(golden))
