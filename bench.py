@@ -87,7 +87,11 @@ def auto_batch_words(path: Path, k: int, collapse: bool) -> int:
     if not words:
         return TARGET_BATCH_WORDS
     n = max(1, round(words / TARGET_BATCH_WORDS))
-    return -(-int(words * 1.004) // (n * 256)) * 256
+    # 4096-word granularity: positions (16*words) stay a multiple of 2^16.
+    # Measured on one v5e: 601344-word batches (positions 2^12-aligned
+    # only) run the same pipeline 3x slower than 602112 (2^16-aligned) —
+    # XLA tiles the sort/merge pipeline pathologically off the 2^16 grid.
+    return -(-int(words * 1.004) // (n * 4096)) * 4096
 
 
 def peak_rss_mb() -> float:
@@ -148,8 +152,18 @@ def main() -> int:
                          "the cascade beats flat re-sorts)")
     ap.add_argument("--no-lsm", dest="lsm", action="store_false",
                     help="force the flat store")
+    # Default OFF for the benchmark (the counter/CLI default stays ON):
+    # measured on one v5e + 2-vCPU host, the native splice pass costs
+    # ~55 ms/pass while the H2D saving on the collapsed stream is ~41 ms —
+    # a net loss at k=14 where the host+tunnel, not the device, bound the
+    # pass (hp on @ auto: 0.319 s vs hp off @ auto: 0.294 s, r3 A/B).
+    # Collapse still pays where device work dominates (large k) or on
+    # tail-heavy data with fast hosts; flag it on to measure that regime.
+    ap.add_argument("--hp-collapse", dest="hp_collapse",
+                    action="store_true", default=False,
+                    help="enable homopolymer run-length collapse at ingest")
     ap.add_argument("--no-hp-collapse", dest="hp_collapse",
-                    action="store_false", default=True,
+                    action="store_false",
                     help="disable homopolymer run-length collapse at ingest")
     args = ap.parse_args()
 
