@@ -165,6 +165,12 @@ def main() -> int:
     ap.add_argument("--no-hp-collapse", dest="hp_collapse",
                     action="store_false",
                     help="disable homopolymer run-length collapse at ingest")
+    ap.add_argument("--hash-first", dest="hash_first", default=None,
+                    action="store_true",
+                    help="hash before dedupe + 64-bit prefix sort "
+                         "(default: counter auto rule)")
+    ap.add_argument("--no-hash-first", dest="hash_first",
+                    action="store_false")
     args = ap.parse_args()
 
     if args.platform:
@@ -209,6 +215,7 @@ def main() -> int:
             k=args.k, l=args.l, backend=args.backend,
             batch_words=args.batch_words, merge_every=args.merge_every,
             lsm=args.lsm, collapse_homopolymers=args.hp_collapse,
+            hash_first=args.hash_first,
         )
     # NB: jax.block_until_ready is a no-op through the tunneled axon
     # backend; a device_get of the distinct-count scalar (which depends on
@@ -253,6 +260,7 @@ def main() -> int:
         "read_len": args.read_len,
         "shards": args.shards,
         "lsm": bool(getattr(counter, "lsm", False)),
+        "hash_first": bool(getattr(counter, "hash_first", False)),
         "platform": jax.default_backend(),
         "total_kmers": kmers,
         "distinct_kmers": distinct,

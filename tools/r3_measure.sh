@@ -1,7 +1,9 @@
 #!/bin/bash
 # Round-3 measurement chain (serial TPU use; each step retried because the
 # remote compile service intermittently hangs RPCs).  Results land in
-# /tmp/r3_measure/.
+# /tmp/r3_measure/.  Run with the machine otherwise QUIET: the 2-vCPU host
+# cannot absorb a concurrent pytest run without inflating every pass
+# (measured: k=14 fresh pass 0.72 s contended vs 0.29 s quiet).
 set -u
 OUT=/tmp/r3_measure
 mkdir -p $OUT
@@ -23,18 +25,12 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "FAILED $name"
 }
 
-run k14        1800 python bench.py --passes 4
-run k14_short  1800 python bench.py --passes 3 --read-len 150,150
-run k31        2400 python bench.py --passes 3 --k 31 --l 25
-run k63        2400 python bench.py --passes 3 --k 63 --l 25
-run k127       2400 python bench.py --passes 3 --k 127 --l 25
-run shards1    2400 python bench.py --passes 3 --shards 1
+run k14        1200 python bench.py --passes 3
+run k14_hp     1200 python bench.py --passes 3 --hp-collapse
+run k14_short  1200 python bench.py --passes 3 --read-len 150,150
+run k31        1800 python bench.py --passes 2 --k 31 --l 25
+run k63        1800 python bench.py --passes 2 --k 63 --l 25
+run k127       1800 python bench.py --passes 2 --k 127 --l 25
+run shards1    1800 python bench.py --passes 2 --shards 1
 run table      2400 python bench.py --passes 1 --backend table --l 26
-echo "=== sortbench ==="
-if [ ! -s "$OUT/sortbench.log" ]; then
-  for i in 1 2; do
-    timeout 2400 python tools/sortbench.py --reps 3 > "$OUT/sortbench.log" 2>&1 && break
-  done
-fi
-tail -30 "$OUT/sortbench.log"
 echo "ALL DONE"

@@ -204,14 +204,16 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         # GF(2) hash BEFORE dedupe and sort on a 64-bit uniform prefix
         # with the other lanes as payload (ops/count.py
         # _sort_uniform_prefix) — the store then holds hashed keys and
-        # exports inverse-map, exactly like the sharded path.  Pays off
-        # when the dedupe sort has many operands; auto = lanes >= 4
-        # (k >= 49).  Requires a real (non-identity) hash for uniformity.
+        # exports inverse-map, exactly like the sharded path.  Measured on
+        # one v5e (r3): a NET LOSS single-chip — the per-position GF(2)
+        # hash + stacked-kmer materialization cost more than the narrower
+        # sort saves (k=63: 30.5M vs 43.2M kmers/s), and the lax.cond
+        # collision-fallback branch doubles peak sort temps (k=127 l=25
+        # OOMs HBM, 18.4G/15.75G).  Default OFF; opt in via hash_first=True.
+        # The SHARDED counter still sorts a uniform prefix for free — its
+        # stream is already hashed for routing (parallel/sharded.py).
         if hash_first is None:
-            hash_first = (
-                backend == "sort" and self.spec.lanes >= 4
-                and not identity_hash
-            )
+            hash_first = False
         self.hash_first = bool(
             hash_first and backend == "sort" and not identity_hash
         )
