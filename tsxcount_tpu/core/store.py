@@ -24,9 +24,22 @@ import numpy as np
 # perf experiment knob: override the Pallas merge kernel tile (elements)
 _MERGE_TILE = int(os.environ.get("TSX_MERGE_TILE", "0")) or None
 # fused merge+dedupe+compact kernel for the final store merge (one pass
-# instead of merge -> flags/segsum -> compaction); 0 reverts to the
-# three-pass pipeline for A/B
-_FUSED_MERGE = os.environ.get("TSX_FUSED_MERGE", "1") != "0"
+# instead of merge -> flags/segsum -> compaction).  TSX_FUSED_MERGE=0/1
+# forces; unset = auto by key width — r3 A/B on one v5e (20k-read bench,
+# l=25): fused wins at n_keys <= 4 (k=14: 0.291 vs 0.330 s/pass, k=31:
+# 0.341 vs 0.346, k=63: 0.397 vs 0.408) but LOSES at n_keys = 8 (k=127:
+# 0.845 vs 0.620) — ten 32-bit columns through the kernel's SMEM frontier
+# exceed what the one-pass formulation saves in HBM round-trips.
+_FUSED_MERGE = {"0": False, "1": True}.get(
+    os.environ.get("TSX_FUSED_MERGE", "auto")
+)
+_FUSED_MAX_KEYS = 4
+
+
+def _fused_default(n_keys: int) -> bool:
+    return _FUSED_MERGE if _FUSED_MERGE is not None else (
+        n_keys <= _FUSED_MAX_KEYS
+    )
 
 from tsxcount_tpu.config import COUNT_DIGITS, KmerSpec, counts_to_int
 from tsxcount_tpu.ops.count import (
@@ -245,7 +258,7 @@ class CountStore:
             jnp.where(state.used, lo0, jnp.uint32(0)),
             jnp.where(state.used, hi0, 0),
         )
-        if _FUSED_MERGE if fused is None else fused:
+        if _fused_default(n_keys) if fused is None else fused:
             from tsxcount_tpu.ops.pallas_merge_dedupe import (
                 merge_dedupe_sorted,
             )
