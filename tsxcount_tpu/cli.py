@@ -54,7 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--shards", type=int, default=1,
                    help="table shards across devices (multi-chip)")
     c.add_argument("--batch-words", type=int, default=1 << 20,
-                   help="uint32 words per device batch (16 bases/word)")
+                   help="uint32 words per device batch (16 bases/word); "
+                        "keep a multiple of 4096 — off the 2^16-position "
+                        "grid XLA compiles a ~3x slower sort/merge "
+                        "pipeline on TPU (r3 measurement)")
     c.add_argument("--read-len", type=int, default=0,
                    help="expected read length in bases; sizes the "
                         "interval-coded validity budget per batch "
