@@ -141,9 +141,11 @@ def main() -> int:
                          "+ polyA")
     ap.add_argument("--merge-every", type=int, default=2,
                     help="batches folded per store merge (R)")
-    ap.add_argument("--passes", type=int, default=2,
+    ap.add_argument("--passes", type=int, default=4,
                     help="steady-state passes; the reported time is the "
-                         "fastest (timeit-style, filters tunnel hiccups)")
+                         "fastest (timeit-style, filters tunnel hiccups — "
+                         "single passes vary 0.29-0.34 s through the "
+                         "tunnel; each extra pass costs ~0.3 s)")
     ap.add_argument("--shards", type=int, default=0,
                     help="run the multi-chip ShardedKmerCounter over N "
                          "devices (0 = single-chip KmerCounter)")
