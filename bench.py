@@ -206,6 +206,16 @@ def main() -> int:
     if args.shards:
         from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
 
+        # flags the sharded counter does not take: fail loudly instead of
+        # silently benchmarking a default configuration (ADVICE r3)
+        if args.hash_first is not None:
+            print("warning: --hash-first/--no-hash-first is ignored with "
+                  "--shards (the sharded stream is already hashed for "
+                  "routing)", file=sys.stderr)
+        if args.lsm is not None:
+            print("warning: --lsm/--no-lsm is ignored with --shards "
+                  "(per-shard LSM auto-engages by the cascade rule)",
+                  file=sys.stderr)
         counter = ShardedKmerCounter(
             k=args.k, n_shards=args.shards, l=args.l, backend=args.backend,
             batch_words=args.batch_words, merge_every=args.merge_every,

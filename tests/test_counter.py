@@ -17,6 +17,7 @@ from tsxcount_tpu.utils.goldenfile import read_golden
 from tests.test_packer import naive_kmers, rand_reads
 
 
+@pytest.mark.fast
 @pytest.mark.parametrize("backend", ["sort", "table"])
 def test_counter_matches_naive(backend):
     rng = np.random.default_rng(11)
@@ -94,6 +95,7 @@ def test_counter_mode_aliases():
     assert KmerCounter(k=5, l=8, backend="TSX", batch_words=8).backend == "table"
 
 
+@pytest.mark.fast
 @pytest.mark.parametrize("backend", ["sort", "table"])
 def test_golden_small_t7_k14(backend, small_t7_fastq, small_t7_golden):
     """Bit-exact k=14 parity vs the shipped reference golden file."""

@@ -80,6 +80,7 @@ def _run_and_check(a_cols, b_cols, n_keys, tile=1024):
     np.testing.assert_array_equal(got, sums)
 
 
+@pytest.mark.fast
 @pytest.mark.parametrize("n_keys", [1, 2, 3])
 def test_random_runs(n_keys):
     rng = np.random.default_rng(7 + n_keys)
@@ -189,6 +190,92 @@ def test_store_junk_tail_is_harmless():
     assert got == want
     # produced state is canonical: zeroed tail
     assert not np.asarray(out.keys)[n_out:].any()
+
+
+def _store_merge_both_ways(k: int, seed: int):
+    """Run one store merge with the fused kernel forced ON and OFF (same
+    inputs, interpret mode) and return both output states."""
+    import jax.numpy as jnp
+
+    from tsxcount_tpu.config import KmerSpec
+    from tsxcount_tpu.core.store import CountStore, StoreState
+    from tsxcount_tpu.ops.count import int32_to_digits
+
+    rng = np.random.default_rng(seed)
+    spec = KmerSpec(k)
+    lanes = spec.lanes
+    cap = 4096
+    store = CountStore(spec, capacity=cap)
+    n0 = 700
+    keys0 = rng.integers(0, 2**32, size=(cap, lanes), dtype=np.uint32)
+    keys0[:, -1] &= np.uint32(spec.top_lane_mask)
+    keys0 = keys0[np.lexsort(tuple(keys0[:, j] for j in range(lanes)))]
+    keys0[n0:] = 0  # canonical zeroed tail
+    counts0 = rng.integers(1, 50, size=cap).astype(np.int32)
+    counts0[n0:] = 0
+    state = StoreState(
+        keys=jnp.asarray(keys0),
+        digits=jnp.asarray(
+            np.asarray(int32_to_digits(jnp.asarray(counts0)))
+        ),
+        used=jnp.asarray(np.arange(cap) < n0),
+        n=jnp.asarray(n0, jnp.int32),
+        overflowed=jnp.asarray(False),
+    )
+    bk = rng.integers(0, 2**32, size=(1024, lanes), dtype=np.uint32)
+    bk[:, -1] &= np.uint32(spec.top_lane_mask)
+    bk[:200] = keys0[300:500]  # overlap with the store
+    bk = np.unique(bk, axis=0)
+    bk = bk[np.lexsort(tuple(bk[:, j] for j in range(lanes)))]
+    nb = len(bk)
+    bk = np.concatenate([bk, np.zeros((1024 - nb, lanes), np.uint32)])
+    bcounts = rng.integers(1, 50, size=1024).astype(np.int32)
+    bvalid = np.arange(1024) < nb
+    args = (state, jnp.asarray(bk)[None], jnp.asarray(bcounts)[None],
+            jnp.asarray(bvalid)[None])
+    on = store._merge_stacked_pallas(*args, interpret=True, tile=1024,
+                                     fused=True)
+    off = store._merge_stacked_pallas(*args, interpret=True, tile=1024,
+                                      fused=False)
+    return on, off
+
+
+@pytest.mark.parametrize("k", [63, 127])  # n_keys = 4 and 8: the auto cutoff
+def test_fused_auto_boundary_parity(k):
+    """Fused and 3-pass merges must agree exactly at both sides of the
+    auto-by-width cutoff (n_keys=4 on, n_keys=8 off) — ADVICE r3: the
+    boundary was only exercised implicitly by TPU benches."""
+    on, off = _store_merge_both_ways(k, seed=19 + k)
+    n = int(on.n)
+    assert n == int(off.n)
+    np.testing.assert_array_equal(
+        np.asarray(on.keys)[:n], np.asarray(off.keys)[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(on.digits)[:n], np.asarray(off.digits)[:n]
+    )
+    assert bool(on.overflowed) == bool(off.overflowed)
+
+
+def test_fused_auto_rule_sides():
+    """The auto rule picks the documented side: on at n_keys<=4, off at 8."""
+    from tsxcount_tpu.core import store as store_mod
+
+    if store_mod._FUSED_MERGE is None:  # only meaningful un-forced
+        assert store_mod._fused_default(4) is True
+        assert store_mod._fused_default(8) is False
+
+
+def test_fused_env_rejects_unknown(monkeypatch):
+    from tsxcount_tpu.core import store as store_mod
+
+    monkeypatch.setenv("TSX_FUSED_MERGE", "true")
+    with pytest.raises(ValueError):
+        store_mod._parse_fused_env()
+    monkeypatch.setenv("TSX_FUSED_MERGE", "1")
+    assert store_mod._parse_fused_env() is True
+    monkeypatch.delenv("TSX_FUSED_MERGE")
+    assert store_mod._parse_fused_env() is None
 
 
 def test_larger_tile_multi_tile():

@@ -16,6 +16,7 @@ def test_random_matrix_invertible(bits):
     np.testing.assert_array_equal(prod, np.eye(bits, dtype=np.int64))
 
 
+@pytest.mark.fast
 @pytest.mark.parametrize("k", [14, 32, 63, 127])
 def test_apply_inverse_roundtrip_device(k):
     spec = KmerSpec(k)

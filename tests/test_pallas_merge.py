@@ -74,6 +74,7 @@ def test_merge_sorted_with_payloads_stable():
     np.testing.assert_array_equal(out_p, [p for _, p in ref])
 
 
+@pytest.mark.fast
 def test_merge_sorted_multiset_exact():
     rng = np.random.default_rng(9)
     m, n = 4096, 4096

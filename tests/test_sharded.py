@@ -9,6 +9,7 @@ from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
 from tests.test_packer import naive_kmers, rand_reads
 
 
+@pytest.mark.fast
 @pytest.mark.parametrize("n_shards", [1, 2, 8])
 def test_sharded_matches_naive(n_shards):
     rng = np.random.default_rng(n_shards)
@@ -76,6 +77,7 @@ def test_sharded_agrees_with_single_device():
     assert sharded.to_dict() == single.to_dict()
 
 
+@pytest.mark.fast
 def test_sharded_golden_small_t7(small_t7_fastq, small_t7_golden):
     """Multi-device bit-exact parity on the reference golden file."""
     counter = ShardedKmerCounter(

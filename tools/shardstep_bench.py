@@ -94,8 +94,7 @@ def main() -> int:
     buf = jax.device_put(buf_np)
     timed("single _dedupe", single._dedupe, buf)
 
-    sbuf = shard._put_group_np(buf_np) if hasattr(
-        shard, "_put_group_np") else shard._to_global(buf_np[None, :])
+    sbuf = shard._to_global(buf_np[None, :])
     recv_keys, recv_counts, recv_lens, spill = shard._step(sbuf)
     timed("sharded _step", shard._step, sbuf)
 

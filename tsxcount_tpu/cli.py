@@ -64,14 +64,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 = auto-detect from the first read)")
     c.add_argument("--merge-every", type=int, default=4,
                    help="batches folded per store merge (sort backend)")
-    c.add_argument("--no-hp-collapse", dest="hp_collapse",
-                   action="store_false", default=None,
-                   help="disable homopolymer run-length collapse at ingest "
+    c.add_argument("--hp-collapse", dest="hp_collapse",
+                   action="store_true", default=None,
+                   help="enable homopolymer run-length collapse at ingest "
                         "(exact either way; collapse splices all-X runs "
                         "longer than 2k-2 and applies the elided window "
-                        "counts at read time).  Default: on; on "
-                        "--load-state the checkpoint's setting unless this "
-                        "flag overrides it")
+                        "counts at read time).  Default: off — measured on "
+                        "this host the splice pass costs more than the H2D "
+                        "saving (bench.py and the CLI agree); turn on for "
+                        "tail-heavy data or where device work dominates. "
+                        "On --load-state the checkpoint's setting wins "
+                        "unless a flag overrides it")
+    c.add_argument("--no-hp-collapse", dest="hp_collapse",
+                   action="store_false",
+                   help="disable homopolymer collapse (overrides a loaded "
+                        "checkpoint's setting)")
     c.add_argument("--lsm", action="store_true", default=None,
                    help="force the log-structured multi-level store (sort "
                         "backend): amortizes merges for streams whose table "
@@ -141,7 +148,7 @@ def cmd_count(args: argparse.Namespace) -> int:
         read_len_hint=args.read_len,
         progress_every=args.progress,
     )
-    hp_collapse = True if args.hp_collapse is None else args.hp_collapse
+    hp_collapse = False if args.hp_collapse is None else args.hp_collapse
     if args.load_state:
         # the checkpoint's own shape (shards/backend/k/l) wins over flags
         from tsxcount_tpu.core.checkpoint import load_counter

@@ -190,7 +190,7 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         threads: int = 0,
         prefetch_depth: int = 3,
         read_len_hint: int = 0,
-        collapse_homopolymers: bool = True,
+        collapse_homopolymers: bool = False,
         progress_every: int = 0,
         hash_first: bool | None = None,
     ):
@@ -239,7 +239,11 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         # the elided window counts, applied at READ time (get_counts/items)
         # from the ingest stats — exact (the all-c kmer always survives in
         # the spliced stream with k-1 interior windows, so only its count
-        # changes), and zero extra device work per pass
+        # changes), and zero extra device work per pass.  Default OFF
+        # everywhere (CLI and bench agree, r4): on this host the native
+        # splice pass (~55 ms) costs more than the H2D saving (~41 ms);
+        # opt in with collapse_homopolymers=True / --hp-collapse where
+        # device work dominates (large k) or input is tail-heavy.
         self.collapse_hp = collapse_homopolymers
         self.hash_fn = GF2Hash(self.spec, seed=hash_seed, identity=identity_hash)
         self.lsm = False

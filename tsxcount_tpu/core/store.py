@@ -30,9 +30,20 @@ _MERGE_TILE = int(os.environ.get("TSX_MERGE_TILE", "0")) or None
 # 0.341 vs 0.346, k=63: 0.397 vs 0.408) but LOSES at n_keys = 8 (k=127:
 # 0.845 vs 0.620) — ten 32-bit columns through the kernel's SMEM frontier
 # exceed what the one-pass formulation saves in HBM round-trips.
-_FUSED_MERGE = {"0": False, "1": True}.get(
-    os.environ.get("TSX_FUSED_MERGE", "auto")
-)
+def _parse_fused_env() -> bool | None:
+    """TSX_FUSED_MERGE: '0'/'1' force, 'auto'/unset = auto-by-width.
+    Anything else is rejected loudly — silently mapping e.g. 'true' to
+    auto would change behavior for scripts that meant 'force on'."""
+    raw = os.environ.get("TSX_FUSED_MERGE", "auto")
+    table = {"0": False, "1": True, "auto": None, "": None}
+    if raw not in table:
+        raise ValueError(
+            f"TSX_FUSED_MERGE={raw!r} not understood: use 0, 1, or auto"
+        )
+    return table[raw]
+
+
+_FUSED_MERGE = _parse_fused_env()
 _FUSED_MAX_KEYS = 4
 
 

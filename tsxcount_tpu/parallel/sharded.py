@@ -167,7 +167,7 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
         threads: int = 0,
         prefetch_depth: int = 3,
         read_len_hint: int = 0,
-        collapse_homopolymers: bool = True,
+        collapse_homopolymers: bool = False,
         progress_every: int = 0,
     ):
         self.progress_every = max(0, progress_every)
