@@ -173,6 +173,13 @@ def main() -> int:
                          "(default: counter auto rule)")
     ap.add_argument("--no-hash-first", dest="hash_first",
                     action="store_false")
+    ap.add_argument("--mix-prefix", dest="mix_prefix", default=None,
+                    action="store_true",
+                    help="VPU mixing-hash sort prefix over extended keys "
+                         "(measured net loss on v5e — column movement "
+                         "dominates lax.sort; kept for measurement)")
+    ap.add_argument("--no-mix-prefix", dest="mix_prefix",
+                    action="store_false")
     args = ap.parse_args()
 
     if args.platform:
@@ -212,6 +219,9 @@ def main() -> int:
             print("warning: --hash-first/--no-hash-first is ignored with "
                   "--shards (the sharded stream is already hashed for "
                   "routing)", file=sys.stderr)
+        if args.mix_prefix is not None:
+            print("warning: --mix-prefix is ignored with --shards",
+                  file=sys.stderr)
         if args.lsm is not None:
             print("warning: --lsm/--no-lsm is ignored with --shards "
                   "(per-shard LSM auto-engages by the cascade rule)",
@@ -227,8 +237,22 @@ def main() -> int:
             k=args.k, l=args.l, backend=args.backend,
             batch_words=args.batch_words, merge_every=args.merge_every,
             lsm=args.lsm, collapse_homopolymers=args.hp_collapse,
-            hash_first=args.hash_first,
+            hash_first=args.hash_first, mix_prefix=args.mix_prefix,
         )
+    from tsxcount_tpu.utils.hbm import estimate_hbm, preflight_check
+
+    hbm_est = estimate_hbm(
+        k=args.k, l=args.l, batch_words=args.batch_words,
+        backend=counter.backend, merge_every=args.merge_every,
+        lsm=bool(getattr(counter, "lsm", False)),
+        hash_first=bool(getattr(counter, "hash_first", False)),
+        mix_prefix=bool(getattr(counter, "mix_prefix", False)),
+        n_shards=max(1, args.shards),
+    )
+    warn = preflight_check(hbm_est)
+    if warn:
+        print(f"warning: {warn}", file=sys.stderr)
+
     # NB: jax.block_until_ready is a no-op through the tunneled axon
     # backend; a device_get of the distinct-count scalar (which depends on
     # the whole merged store) is the completion fence.
@@ -273,6 +297,7 @@ def main() -> int:
         "shards": args.shards,
         "lsm": bool(getattr(counter, "lsm", False)),
         "hash_first": bool(getattr(counter, "hash_first", False)),
+        "mix_prefix": bool(getattr(counter, "mix_prefix", False)),
         "platform": jax.default_backend(),
         "total_kmers": kmers,
         "distinct_kmers": distinct,
@@ -287,8 +312,11 @@ def main() -> int:
         "hp_bonus": sum(stats_last.hp_bonus),
         # memory observability (reference protocol records max-RSS,
         # analyses/perform_analyses.py:64): host peak RSS + device HBM
+        # (the tunneled backend hides memory_stats -> null, so the analytic
+        # model's estimate rides along; see tsxcount_tpu/utils/hbm.py)
         "max_rss_mb": round(peak_rss_mb(), 1),
         "device_hbm_mb": device_hbm_mb(),
+        "device_hbm_mb_est": round(hbm_est.total_mb, 1),
     }
     print(json.dumps(result))
     return 0

@@ -41,3 +41,36 @@ def test_count_file_distributed_single_process(tmp_path):
     counter = ShardedKmerCounter(k=9, n_shards=4, l=15, batch_words=32)
     count_file_distributed(counter, path)
     assert counter.to_dict() == dict(naive_kmers(reads, 9))
+
+
+def test_streaming_rounds_bounded_residency(tmp_path):
+    """The r4 streaming ingest (VERDICT r3 #5): a file much bigger than one
+    round's window must be consumed in MANY agree-and-dispatch rounds
+    (round_groups=1: at most the 1-deep prefetch queue + one chunk is ever
+    resident — bounded by construction), with exact counts."""
+    reads = rand_reads(np.random.default_rng(3), 60, 30, 120)
+    path = tmp_path / "big.fastq"
+    _write_fastq(path, reads)
+    counter = ShardedKmerCounter(k=9, n_shards=2, l=15, batch_words=32)
+    count_file_distributed(counter, path, round_groups=1)
+    assert counter._stream_rounds >= 4, counter._stream_rounds
+    assert counter.to_dict() == dict(naive_kmers(reads, 9))
+
+
+def test_streaming_runs_read_len_autosize(tmp_path):
+    """_adapt_read_len must run on the distributed path too (r3 gap)."""
+    reads = rand_reads(np.random.default_rng(4), 20, 200, 220)
+    path = tmp_path / "long.fastq"
+    _write_fastq(path, reads)
+    counter = ShardedKmerCounter(k=9, n_shards=2, l=15, batch_words=64)
+    hint_before = counter.batch.read_len_hint
+    count_file_distributed(counter, path)
+    assert not counter._auto_hint  # the hint was consumed
+    assert counter.batch.read_len_hint != hint_before or (
+        counter.batch.max_intervals
+        == type(counter.batch)(
+            counter.batch.spec, counter.batch.capacity_words,
+            max(9, 200),
+        ).max_intervals
+    )
+    assert counter.to_dict() == dict(naive_kmers(reads, 9))

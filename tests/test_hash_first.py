@@ -60,9 +60,9 @@ def test_hash_first_checkpoint_roundtrip(tmp_path):
 def test_hash_first_canonical_and_collapse():
     reads = [r + "A" * 40 for r in _reads()]
     counter = KmerCounter(k=9, l=14, batch_words=64, hash_first=True,
-                          canonical=True)
+                          canonical=True, collapse_homopolymers=True)
     ref = KmerCounter(k=9, l=14, batch_words=64, hash_first=False,
-                      canonical=True)
+                      canonical=True, collapse_homopolymers=True)
     for c in (counter, ref):
         c.add_reads(reads)
         c.finish()

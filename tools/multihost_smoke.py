@@ -41,8 +41,9 @@ def worker_main() -> int:
     from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
 
     fastq = os.environ["SMOKE_FASTQ"]
+    k = int(os.environ.get("SMOKE_K", "9"))
     counter = ShardedKmerCounter(
-        k=9, n_shards=nproc, l=15, batch_words=64
+        k=k, n_shards=nproc, l=15, batch_words=64
     )
     mode = count_file_distributed(counter, fastq, stride=7)
     # byte-range splitting: each host must have parsed only ~1/N of the
@@ -88,6 +89,9 @@ def worker_main() -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workers", type=int, default=2)
+    ap.add_argument("--k", type=int, default=9,
+                    help="kmer length (>= 31 exercises the multi-lane "
+                         "sort/merge programs over DCN — VERDICT r3 #4)")
     args = ap.parse_args()
 
     import collections
@@ -98,9 +102,10 @@ def main() -> int:
     tmp = Path(tempfile.mkdtemp(prefix="multihost_smoke_"))
     fastq = tmp / "in.fastq"
     golden_path = tmp / "golden.json"
+    min_len = max(12, args.k + 3)
     reads = [
         "".join(np.random.default_rng(i).choice(list("ACGT"),
-                size=int(rng.integers(12, 60))))
+                size=int(rng.integers(min_len, min_len + 48))))
         for i in range(60)
     ]
     with open(fastq, "w") as f:
@@ -108,8 +113,8 @@ def main() -> int:
             f.write(f"@r{i}\n{seq}\n+\n{'I' * len(seq)}\n")
     counts: collections.Counter = collections.Counter()
     for seq in reads:
-        for i in range(max(0, len(seq) - 8)):
-            counts[seq[i : i + 9]] += 1
+        for i in range(max(0, len(seq) - args.k + 1)):
+            counts[seq[i : i + args.k]] += 1
     golden_path.write_text(json.dumps(dict(counts)))
 
     env_base = {
@@ -120,6 +125,7 @@ def main() -> int:
         "SMOKE_GOLDEN": str(golden_path),
         "SMOKE_READS": str(len(reads)),
         "SMOKE_WORKER": "1",
+        "SMOKE_K": str(args.k),
     }
     procs = []
     for pid in range(args.workers):

@@ -113,8 +113,12 @@ def main() -> int:
     # radix-on-hash probe (SURVEY §7 hard-part #1): same total column
     # width, but only the top 2 columns are comparator KEYS (uniform hash
     # prefix) and the rest ride as payload — vs all columns as keys
-    for total in (3, 5, 9):
-        for nk in (2, total):
+    # nk=2: GF(2) 64-bit hash prefix (top_lane flag shared); nk=3: cheap
+    # VPU mix prefix (standalone flag + mix_hi + mix_lo), payload = raw
+    # lanes — the r4 mix-first candidate shapes: k=31 -> 3/5, k=63 -> 3/7,
+    # k=127 -> 3/11 vs today's all-comparator 2/2, 4/4, 8/8
+    for total in (3, 5, 7, 9, 11):
+        for nk in (2, 3, total):
             ops = tuple(cols[:total])
             dt = timeit(
                 jax.jit(lambda *o, nk=nk: jax.lax.sort(o, num_keys=nk)),

@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GF(2) hash matrix seed (default: fixed)")
     c.add_argument("--identity-hash", action="store_true",
                    help="debug: identity hash instead of random GF(2)")
+    c.add_argument("--mix-prefix", action="store_true", default=None,
+                   help="single-chip sort backend: dedupe-sort on a cheap "
+                        "VPU mixing-hash prefix over extended keys "
+                        "(exact; measured a net loss on the v5e where "
+                        "column movement dominates the sort — see "
+                        "bench_results/report.md r4)")
     c.add_argument("--stats-json", action="store_true",
                    help="emit stats as one JSON line")
     c.add_argument("--progress", type=int, default=0, metavar="N",
@@ -167,12 +173,28 @@ def cmd_count(args: argparse.Namespace) -> int:
         )
     else:
         counter = KmerCounter(collapse_homopolymers=hp_collapse,
-                              **kwargs)
+                              mix_prefix=args.mix_prefix, **kwargs)
 
     # config echo, like the reference startup dump (main.cpp:420-427)
     print(f"k={args.k} l={args.l} s={args.s} mode={args.mode} "
           f"backend={counter.backend} shards={args.shards} "
           f"input={args.input}", file=sys.stderr)
+    # HBM preflight: surface a predicted OOM as a warning BEFORE the
+    # multi-minute compile (utils/hbm.py; the reference analog records
+    # max-RSS per run, analyses/plot_analyses.py:91-120)
+    from tsxcount_tpu.utils.hbm import estimate_hbm, preflight_check
+
+    hbm_warn = preflight_check(estimate_hbm(
+        k=counter.spec.k, l=counter.l, batch_words=args.batch_words,
+        backend=counter.backend,
+        merge_every=getattr(counter, "merge_every", 1),
+        lsm=bool(getattr(counter, "lsm", False)),
+        hash_first=bool(getattr(counter, "hash_first", False)),
+        mix_prefix=bool(getattr(counter, "mix_prefix", False)),
+        n_shards=max(1, args.shards),
+    ))
+    if hbm_warn:
+        print(f"warning: {hbm_warn}", file=sys.stderr)
     if counter.backend == "table":
         print(
             "note: the table backend is the reference-semantics parity "

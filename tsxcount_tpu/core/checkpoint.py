@@ -42,6 +42,7 @@ def save_counter(counter, path: str | Path) -> None:
         "canonical": counter.canonical,
         "collapse_hp": getattr(counter, "collapse_hp", True),
         "hash_first": getattr(counter, "hash_first", False),
+        "mix_prefix": getattr(counter, "mix_prefix", False),
         "stats": dataclasses.asdict(counter.packer.stats),
         "batches_processed": counter.batches_processed,
         "lsm": getattr(counter, "lsm", False),
@@ -119,7 +120,15 @@ def _load_single(meta, data, batch_words):
         identity_hash=meta["identity_hash"],
         canonical=meta.get("canonical", False),
         collapse_homopolymers=meta.get("collapse_hp", True),
-        hash_first=meta.get("hash_first", False),
+        # pre-r4 checkpoints wrote hash_first=True meaning the GF(2)
+        # image (True now aliases the r4 "mix" bijection — map it back so
+        # old state arrays keep decoding)
+        hash_first=(
+            "gf2" if meta.get("hash_first", False) is True
+            else meta.get("hash_first", False)
+        ),
+        # old checkpoints (pre-r4) hold plain raw-key stores: mix off
+        mix_prefix=meta.get("mix_prefix", False),
         lsm=meta.get("lsm", False),
         lsm_growth=meta.get("lsm_growth", 8),
         merge_every=meta.get("merge_every", 4),

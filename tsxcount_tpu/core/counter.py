@@ -59,6 +59,15 @@ MODE_TO_BACKEND = {
 
 _QUERY_BATCH = 4096
 _HINT_SAMPLE = 64  # reads sampled for the auto read-length hint
+# mix-prefix dedupe auto-engage threshold (lanes).  r4 measurement on one
+# v5e (tools/sortbench.py, 9.6M rows): lax.sort cost is dominated by COLUMN
+# MOVEMENT, not comparator width — 8 keys/8 cols 106.7 ms vs 1 key+7
+# payload 85.3 ms vs 2 keys/5 cols 56.2 vs 5 keys/5 cols 65.3.  The mix
+# prefix ADDS 2-3 columns (k=63: 4/4 51.8 ms -> 3/7 ~71 ms), so it LOSES
+# at every k on this hardware; auto stays disabled (opt-in via
+# mix_prefix=True, kept for exactness plumbing + hosts where comparator
+# cost dominates).  See bench_results/report.md (r4).
+_MIX_AUTO_MIN_LANES = 99  # auto disabled: measured net loss at all k
 
 
 def _peek_read_lens(path) -> list[int]:
@@ -95,6 +104,18 @@ class CheckAbort(RuntimeError):
 class TableFull(RuntimeError):
     """Capacity exceeded — analog of the reference's exit(42)
     (TSXHashMap.h:340-343)."""
+
+
+class PrefixCollision(RuntimeError):
+    """Two DISTINCT keys collided in the 64-bit uniform dedupe-sort prefix
+    (probability ~P^2/2^65 per batch, about 1 in 4e5 batches at the default
+    batch size), so one ingested batch's histogram may be wrong.
+
+    Detection is exact (ops/count.py _sort_uniform_prefix collide_mode
+    "flag"); count_file() handles this internally by recounting the file
+    with the full-comparator sort.  It surfaces to callers only from the
+    streaming add_reads() API, where the input cannot be replayed — rerun
+    with mix_prefix=False/hash_first=False, or feed via count_file."""
 
 
 class IngestProgressMixin:
@@ -193,6 +214,7 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         collapse_homopolymers: bool = False,
         progress_every: int = 0,
         hash_first: bool | None = None,
+        mix_prefix: bool | None = None,
     ):
         if backend in MODE_TO_BACKEND:
             backend = MODE_TO_BACKEND[backend]
@@ -212,11 +234,56 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         # OOMs HBM, 18.4G/15.75G).  Default OFF; opt in via hash_first=True.
         # The SHARDED counter still sorts a uniform prefix for free — its
         # stream is already hashed for routing (parallel/sharded.py).
-        if hash_first is None:
+        # hash_first: False | "mix" | "gf2" (True = "mix").  Both variants
+        # hash keys BEFORE dedupe so the sort compares a 64-bit uniform
+        # prefix with the other lanes as payload; the store holds the
+        # image and exports invert it.  "gf2" is the r3 MXU path (measured
+        # net loss: per-position bit-unpack -> matmul -> pack); "mix" (r4)
+        # is the ARX lane-mix Feistel (ops/mix.py LaneMixBijection) whose
+        # apply is ~30 VPU ops/lane — same comparator saving, none of the
+        # matmul cost, and the column (unstacked) extraction is kept.
+        if hash_first is None or hash_first is False:
             hash_first = False
-        self.hash_first = bool(
-            hash_first and backend == "sort" and not identity_hash
+        elif hash_first is True or hash_first == "mix":
+            hash_first = "mix"
+        elif hash_first != "gf2":
+            raise ValueError("hash_first must be False, True/'mix', "
+                             "or 'gf2'")
+        if hash_first == "gf2" and identity_hash:
+            hash_first = False  # identity GF(2) image is not uniform
+        self.hash_first = hash_first if backend == "sort" else False
+        # mix-prefix dedupe (r4, SURVEY §7 hard-part #1 second attack):
+        # extend raw keys with a cheap VPU mixing hash (ops/mix.py) and
+        # sort on (flag, mix_hi, mix_lo) with the raw lanes as payload —
+        # the hash-first comparator saving WITHOUT the per-position GF(2)
+        # matmul that made it a net loss.  The store holds extended keys
+        # (raw + mix columns); exports drop the mix, queries recompute it.
+        # Collisions in the 64-bit prefix are detected exactly and handled
+        # by a host-side full-sort recount (collide_mode="flag" — only the
+        # fast branch compiles, fixing the r3 k=127 l=25 lax.cond OOM).
+        # Auto rule: on for lanes >= _MIX_AUTO_MIN_LANES (where the wide
+        # comparator dominates the dedupe sort), sort backend only.
+        if mix_prefix and self.hash_first:
+            raise ValueError("mix_prefix and hash_first are exclusive "
+                             "(both replace the dedupe sort comparator)")
+        if mix_prefix is None:
+            mix_prefix = (
+                backend == "sort" and not self.hash_first
+                and _MIX_AUTO_MIN_LANES <= self.spec.lanes <= 14
+            )
+        self.mix_prefix = bool(
+            mix_prefix and backend == "sort" and not self.hash_first
         )
+        if self.mix_prefix:
+            from tsxcount_tpu.ops.mix import make_ext_spec
+
+            self.store_spec = make_ext_spec(self.spec)
+        else:
+            self.store_spec = self.spec
+        # set after a detected prefix collision: rebuild the ingest with
+        # the full-comparator sort and recount (count_file drives this)
+        self._mix_full_sort = False
+        self._taint = None  # running OR of per-batch collision flags
         # read_len_hint sizes the interval-coded validity budget (see
         # BatchSpec.max_intervals); 0 = auto-detect from the first read
         self._auto_hint = read_len_hint == 0
@@ -246,6 +313,14 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         # device work dominates (large k) or input is tail-heavy.
         self.collapse_hp = collapse_homopolymers
         self.hash_fn = GF2Hash(self.spec, seed=hash_seed, identity=identity_hash)
+        # the bijection hash_first stores through (GF2Hash or the ARX
+        # lane mix); the table backend keeps self.hash_fn regardless
+        if self.hash_first == "mix":
+            from tsxcount_tpu.ops.mix import LaneMixBijection
+
+            self.key_map = LaneMixBijection(self.spec)
+        else:
+            self.key_map = self.hash_fn
         self.lsm = False
         if backend == "sort":
             capacity = 1 << l
@@ -265,14 +340,14 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
                 from tsxcount_tpu.core.lsm import LSMStore
 
                 self.store = LSMStore(
-                    self.spec, capacity,
+                    self.store_spec, capacity,
                     base_capacity=flush * lsm_growth, growth=lsm_growth,
                 )
                 self.lsm = True
             else:
                 # tables not larger than L0 gain nothing from levels; fall
                 # back to the flat store
-                self.store = CountStore(self.spec, capacity=capacity)
+                self.store = CountStore(self.store_spec, capacity=capacity)
             self.state = self.store.init_state()
         else:
             self.table = QuotientTable(
@@ -317,28 +392,55 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
             batch = self.batch
             canonical = self.canonical
             hash_first = self.hash_first
-            hash_fn = self.hash_fn
+            mix_prefix = self.mix_prefix
+            store_spec = self.store_spec
+            key_map = self.key_map
+            # uniform-prefix sort unless a detected collision forced the
+            # exact full-comparator recount path
+            uniform = bool(
+                (hash_first or mix_prefix) and not self._mix_full_sort
+            )
 
             def dedupe(buf):
                 # buf = [words | validity intervals]: ONE H2D transfer per
                 # batch; static slices are free under jit
                 words = buf[: batch.total_words]
-                if canonical or hash_first:
-                    kmers = extract_kmers(words, batch)
-                    if canonical:
-                        kmers = canonicalize(kmers, batch.spec)
+                if canonical:
+                    kmers = canonicalize(
+                        extract_kmers(words, batch), batch.spec
+                    )
                     if hash_first:
-                        kmers = hash_fn.apply(kmers)
+                        kmers = key_map.apply(kmers)
+                    if mix_prefix:
+                        kmers = [
+                            kmers[:, j] for j in range(batch.spec.lanes)
+                        ]
+                elif hash_first == "mix":
+                    # ARX lane mix works on the unstacked columns — no
+                    # [P, lanes] materialization (the r3 gf2 path's cost)
+                    kmers = key_map.apply_cols(
+                        extract_kmer_cols(words, batch)
+                    )
+                elif hash_first:  # "gf2": the MXU matmul needs the stack
+                    kmers = key_map.apply(extract_kmers(words, batch))
                 else:
                     # lane columns feed the sort directly (no [P, lanes]
                     # stack/transpose materialization)
                     kmers = extract_kmer_cols(words, batch)
+                if mix_prefix:
+                    from tsxcount_tpu.ops.mix import extend_cols
+
+                    kmers = extend_cols(kmers)
                 valid = intervals_to_valid(buf[batch.total_words :], batch)
                 uc = count_unique(
-                    kmers, valid, spec=batch.spec,
-                    uniform_prefix=hash_first,
+                    kmers, valid, spec=store_spec,
+                    uniform_prefix=uniform, collide_mode="flag",
                 )
-                return uc.keys, uc.counts, uc.valid
+                taint = (
+                    uc.collided if uc.collided is not None
+                    else jnp.zeros((), jnp.bool_)
+                )
+                return uc.keys, uc.counts, uc.valid, taint
 
             self._dedupe = jax.jit(dedupe)
         else:
@@ -424,6 +526,7 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
             self.batch, n_policy=self.n_policy, seed=self.seed,
             collapse=self.collapse_hp,
         )
+        self._taint = None
         self.batches_processed = 0
         self.elapsed = 0.0
 
@@ -441,7 +544,13 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         t0 = time.perf_counter()
         for buf in bufs:
             if self.backend == "sort":
-                self._pending_uc.append(self._dedupe(buf))
+                k, c, v, taint = self._dedupe(buf)
+                self._pending_uc.append((k, c, v))
+                # running OR keeps ONE tiny device buffer alive (checked
+                # once at finish — no per-batch sync)
+                self._taint = (
+                    taint if self._taint is None else self._taint | taint
+                )
                 if len(self._pending_uc) >= self.merge_every:
                     self._flush_pending()
             else:
@@ -479,11 +588,23 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
     def _check_capacity(self) -> None:
         if self.backend == "sort":
             states = self.state if self.lsm else [self.state]
-            if any(bool(jax.device_get(s.overflowed)) for s in states):
+            # one round trip for overflow flags of every level + the
+            # dedupe-collision taint (each device_get pays the full
+            # tunnel latency)
+            flags = [s.overflowed for s in states]
+            if self._taint is not None:
+                flags.append(self._taint)
+            vec = np.asarray(jax.device_get(jnp.stack(flags)))
+            tainted = self._taint is not None and bool(vec[-1])
+            n_over = len(states)
+            if bool(vec[:n_over].any()):
                 raise TableFull(
                     f"distinct kmers exceeded capacity 2^{self.l}; rerun with "
                     f"a larger --l (reference exits 42 here)"
                 )
+            if tainted:
+                self._taint = None
+                raise PrefixCollision(PrefixCollision.__doc__)
         else:
             spilled = int(jax.device_get(self.state.spilled))
             if spilled:
@@ -499,7 +620,33 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
 
         use_native: True = require the C++ packer, False = pure Python,
         None (default) = native if buildable, else Python fallback.
+
+        A detected dedupe-prefix collision (mix_prefix/hash_first modes,
+        ~1 in 4e5 batches) is handled here by recounting the file with the
+        full-comparator sort — exact, transparent, and only possible when
+        this counter held no earlier data (otherwise the retry would lose
+        it, so the collision surfaces as PrefixCollision).
         """
+        fresh = self.batches_processed == 0 and self.packer.stats.reads == 0
+        try:
+            self._count_file_impl(path, use_native)
+        except PrefixCollision:
+            if not fresh:
+                raise
+            import sys
+
+            print(
+                "tsxcount: dedupe-prefix collision detected; recounting "
+                "with the full-comparator sort (exact, ~2x this file's "
+                "cost)", file=sys.stderr,
+            )
+            self._mix_full_sort = True
+            self.reset()
+            self._build_ingest()
+            self._count_file_impl(path, use_native)
+
+    def _count_file_impl(self, path: str | Path,
+                         use_native: bool | None = None) -> None:
         from tsxcount_tpu.io.native import NativeFileReader, native_available
         from tsxcount_tpu.io.pipeline import prefetch
 
@@ -566,7 +713,11 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
                 jax.jit(lambda x: canonicalize(x, self.spec))(jnp.asarray(keys))
             )
         if self.hash_first:  # the store holds hashed keys
-            keys = self.hash_fn.apply_host(np.asarray(keys))
+            keys = self.key_map.apply_host(np.asarray(keys))
+        if self.mix_prefix:  # the store holds (raw, mix) extended keys
+            from tsxcount_tpu.ops.mix import extend_keys_host
+
+            keys = extend_keys_host(np.asarray(keys))
         out: list[int] = []
         n = len(kmers)
         for off in range(0, n, _QUERY_BATCH):
@@ -599,7 +750,9 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         if self.backend == "sort":
             keys, counts, n = self.store.to_host(self.state)
             if self.hash_first and n:
-                keys = self.hash_fn.inv_apply_host(keys)
+                keys = self.key_map.inv_apply_host(keys)
+            if self.mix_prefix:  # drop the mix columns; raw lanes remain
+                keys = keys[:, : self.spec.lanes]
         else:
             keys, counts, n = self.table.to_host(self.state)
         strings = kmers_to_strings(keys, self.spec)

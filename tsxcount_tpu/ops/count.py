@@ -46,6 +46,11 @@ class UniqueCounts(NamedTuple):
     counts: jax.Array   # int32  [P]
     valid: jax.Array    # bool   [P]
     n_unique: jax.Array # int32  scalar
+    # bool scalar (collide_mode="flag" only, else None): the uniform-prefix
+    # sort detected a prefix collision between two DISTINCT valid keys, so
+    # this batch's histogram may be wrong and the caller must retry with
+    # the full-comparator sort (ops/count.py _sort_uniform_prefix)
+    collided: jax.Array | None = None
 
 
 # --- packed sort keys -------------------------------------------------------
@@ -127,26 +132,38 @@ def _pallas_compactable(p: int) -> bool:
     return p % DEFAULT_TILE == 0 and jax.default_backend() == "tpu"
 
 
-def _sort_uniform_prefix(ops: tuple, spec: KmerSpec) -> tuple:
-    """Sort rows of bijectively-HASHED keys by a >=64-bit uniform prefix,
+def _sort_uniform_prefix(ops: tuple, spec: KmerSpec,
+                         collide_mode: str = "cond"
+                         ) -> tuple[tuple, jax.Array | None]:
+    """Sort rows of uniformly-prefixed keys (bijective GF(2) image, or raw
+    lanes extended with the ops/mix.py mixing hash) by a >=64-bit prefix,
     with the remaining lanes riding as sort payload (SURVEY §7 hard-part
-    #1: radix on uniform hash bits so the comparator runs on 2 columns
+    #1: radix on uniform hash bits so the comparator runs on 2-3 columns
     instead of lanes+1).
 
     Exactness: two EQUAL keys agree on every column, so they still land in
     one run.  Two DISTINCT keys that collide in the whole prefix would
-    corrupt run boundaries — but the prefix is uniform (bijective GF(2)
-    image), so a within-batch collision has probability ~P^2/2^65; it is
-    DETECTED exactly (adjacent rows equal in the key columns but differing
-    in a payload column) and handled by a lax.cond fallback to the full
-    multi-key sort.  Both branches compile; the fallback virtually never
-    executes.
+    corrupt run boundaries — but the prefix is uniform, so a within-batch
+    collision has probability ~P^2/2^65; it is DETECTED exactly (adjacent
+    rows equal in the prefix columns but differing in a payload column).
+
+    collide_mode:
+      * "cond": lax.cond fallback to the full multi-key sort.  Both
+        branches compile — the fallback branch's sort temps DOUBLE peak
+        HBM even though it virtually never executes (the r3 k=127 l=25
+        OOM cause).  Returns (sorted_ops, None).
+      * "flag": no fallback compiled; returns (sorted_ops, collided bool
+        scalar).  The caller accumulates the flag without syncing and
+        retries the ingest with the full sort if it ever fires
+        (detect + host-side retry, VERDICT r3 #2).
     """
     # 64 uniform hash bits must be comparator keys: 2 lanes when the flag
     # shares the top lane, flag column + 2 lanes otherwise
     nk = 2 if spec.top_lane_bits < 32 else 3
     if len(ops) <= nk:
-        return jax.lax.sort(ops, num_keys=len(ops))
+        out = jax.lax.sort(ops, num_keys=len(ops))
+        return out, (jnp.zeros((), jnp.bool_)
+                     if collide_mode == "flag" else None)
     sorted_pre = jax.lax.sort(ops, num_keys=nk)
     same = sorted_pre[0][1:] == sorted_pre[0][:-1]
     for op in sorted_pre[1:nk]:
@@ -162,12 +179,14 @@ def _sort_uniform_prefix(ops: tuple, spec: KmerSpec) -> tuple:
     else:
         row_valid = sorted_pre[0][:-1] == 0
     collide = jnp.any(same & diff & row_valid)
+    if collide_mode == "flag":
+        return sorted_pre, collide
     return jax.lax.cond(
         collide,
         lambda o: jax.lax.sort(o, num_keys=len(o)),
         lambda o: sorted_pre,
         ops,
-    )
+    ), None
 
 
 def count_unique(kmers, valid: jax.Array,
@@ -175,7 +194,8 @@ def count_unique(kmers, valid: jax.Array,
                  spec: KmerSpec | None = None,
                  max_multiplicity: int | None = None,
                  force_pallas: bool | None = None,
-                 uniform_prefix: bool = False) -> UniqueCounts:
+                 uniform_prefix: bool = False,
+                 collide_mode: str = "cond") -> UniqueCounts:
     """Exact histogram of the valid rows of `kmers`.
 
     kmers: (P, lanes) array, or a sequence of per-lane columns (lsb lane
@@ -185,9 +205,13 @@ def count_unique(kmers, valid: jax.Array,
     weights, max_multiplicity bounds how many rows can share one key
     (drives the log-step segmented sum); without, counts are adjacent
     differences of boundary positions (no scan at all).
-    uniform_prefix: keys are bijectively hashed (uniform bits) — sort on
-    a 64-bit prefix with the remaining lanes as payload and an exact
-    collision fallback (_sort_uniform_prefix).  No-weights paths only.
+    uniform_prefix: keys carry a uniform >=64-bit msb prefix (bijective
+    GF(2) image, or raw lanes extended with the ops/mix.py mixing hash) —
+    sort on that prefix with the remaining lanes as payload and exact
+    collision detection (_sort_uniform_prefix).  No-weights paths only.
+    collide_mode: "cond" (compiled full-sort fallback) or "flag" (report
+    UniqueCounts.collided; caller retries on host) — see
+    _sort_uniform_prefix.
     """
     if isinstance(kmers, (list, tuple)):
         lanes = len(kmers)
@@ -205,15 +229,17 @@ def count_unique(kmers, valid: jax.Array,
     )
 
     sort_ops = (
-        (lambda o: _sort_uniform_prefix(o, spec)) if uniform_prefix
-        else (lambda o: jax.lax.sort(o, num_keys=len(o)))
+        (lambda o: _sort_uniform_prefix(o, spec, collide_mode))
+        if uniform_prefix
+        else (lambda o: (jax.lax.sort(o, num_keys=len(o)), None))
     )
+    collided = None
     if weights is None and use_pallas:
         # TPU fast path: the boundary-row compaction (the second full
         # lax.sort of the XLA path below) becomes one linear Pallas pass
         from tsxcount_tpu.ops.pallas_compact import compact_flagged
 
-        ops_sorted = sort_ops(ops)
+        ops_sorted, collided = sort_ops(ops)
         flag = _boundary_flags(ops_sorted)
         arange = jnp.arange(p, dtype=jnp.int32)
         rep = compact_flagged(
@@ -231,7 +257,7 @@ def count_unique(kmers, valid: jax.Array,
         inv_sorted0 = _invalid_bits(ops_sorted[0], ops_sorted, spec)
         n_unique = jnp.sum(flag & ~inv_sorted0, dtype=jnp.int32)
     elif weights is None:
-        ops_sorted = sort_ops(ops)
+        ops_sorted, collided = sort_ops(ops)
         flag = _boundary_flags(ops_sorted)
         pos, rep = compact_rows(flag, ops_sorted)
         pos_next = jnp.concatenate([pos[1:], jnp.full((1,), p, jnp.int32)])
@@ -260,7 +286,8 @@ def count_unique(kmers, valid: jax.Array,
 
     uvalid = jnp.arange(p, dtype=jnp.int32) < n_unique
     return UniqueCounts(
-        keys=ukeys, counts=counts, valid=uvalid, n_unique=n_unique
+        keys=ukeys, counts=counts, valid=uvalid, n_unique=n_unique,
+        collided=collided,
     )
 
 

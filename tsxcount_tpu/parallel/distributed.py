@@ -66,24 +66,53 @@ def host_input_mode(path: str | Path) -> str:
 
 
 def count_file_distributed(counter, path: str | Path,
-                           stride: int = 64) -> str:
-    """Feed a ShardedKmerCounter its host-local share of `path`.
+                           stride: int = 64,
+                           round_groups: int = 4) -> str:
+    """Feed a ShardedKmerCounter its host-local share of `path`, STREAMING.
 
     SPMD discipline: every process must dispatch the SAME number of global
     steps (each step contains collectives), but per-host shares pack into
-    different batch counts.  So each host packs its share fully, the global
-    maximum batch count is agreed via allgather, and shorter hosts pad with
-    empty batches.  With process_count == 1 this degenerates to
-    counter.count_file.  Returns the input mode used ('range'/'stripe').
+    different batch counts.  Rather than materializing the whole file in
+    host RAM to pre-agree one count (the r3 design — O(file/4) resident,
+    zero overlap, VERDICT r3 #5), ingest proceeds in bounded ROUNDS:
+
+      * a producer thread parses + packs ahead (the same bounded prefetch
+        pipeline the single-host path uses), at most `round_groups` device
+        groups queued;
+      * each round, every host takes up to `round_groups` groups, the
+        round's global maximum is agreed by one small host allgather, and
+        shorter hosts pad with empty groups — so all processes dispatch
+        identical step counts while at most ~2*round_groups groups are
+        ever resident per host;
+      * rounds repeat until every host reports empty (exhausted hosts
+        keep joining the allgather with 0 — same collective count
+        everywhere).
+
+    The reference streams everywhere (src/mains/main.cpp:132-218,
+    FastXReader.h:307-385); this is its multi-host analog.  With
+    process_count == 1 this degenerates to bounded single-host streaming.
+    Returns the input mode used ('range'/'stripe').
     """
+    import itertools
+    import time
+
     import numpy as np
+
+    from tsxcount_tpu.io.packer import PackedBatch, add_stats
+    from tsxcount_tpu.io.pipeline import prefetch
+    from tsxcount_tpu.parallel.sharded import _grouped
 
     host, n_hosts = jax.process_index(), jax.process_count()
     mode = host_input_mode(path)
+    # interval-budget auto-sizing (identical on every host: same file head
+    # -> same hint -> same compiled shapes); r3 never ran it on this path
+    if getattr(counter, "_auto_hint", False):
+        from tsxcount_tpu.core.counter import _peek_read_lens
+
+        counter._adapt_read_len(_peek_read_lens(path))
+    reader = None
     if mode == "range":
         from tsxcount_tpu.io.native import NativeFileReader, split_ranges
-
-        from tsxcount_tpu.io.packer import add_stats
 
         start, end = split_ranges(path, n_hosts)[host]
         reader = NativeFileReader(
@@ -92,33 +121,46 @@ def count_file_distributed(counter, path: str | Path,
             byte_start=start, byte_end=end,
             collapse=counter.collapse_hp,
         )
-        batches = list(reader)
+        batch_iter = iter(reader)
+    else:
+        def _striped_batches():
+            for rec in striped_records(path, host, n_hosts, stride):
+                yield from counter.packer.feed(rec.seq)
+            yield from counter.packer.finish()
+
+        batch_iter = _striped_batches()
+
+    groups = _grouped(batch_iter, counter._local_shards, counter.batch)
+    # parse/pack runs ahead on the producer thread, bounded backpressure
+    ready = prefetch(groups, lambda g: g, depth=round_groups)
+    rounds = 0
+    t0 = time.perf_counter()
+    while True:
+        chunk = list(itertools.islice(ready, round_groups))
+        have = len(chunk)
+        if n_hosts > 1:
+            from jax.experimental import multihost_utils
+
+            counts = np.asarray(multihost_utils.process_allgather(
+                np.asarray([have], np.int64)
+            )).reshape(-1)
+            target = int(counts.max())
+        else:
+            target = have
+        if target == 0:
+            break
+        rounds += 1
+        while len(chunk) < target:
+            chunk.append(
+                [PackedBatch.empty(counter.batch)] * counter._local_shards
+            )
+        for g in chunk:
+            counter._step_buf(counter._put_group(g))
+    counter.elapsed += time.perf_counter() - t0
+    counter._stream_rounds = rounds  # observability (tests assert > 1)
+    if reader is not None:
         # host-local ingest stats, accumulated; globals (total_kmers,
         # stats(), hp bonus) come from the counter's cross-process sum
         counter.packer.stats = add_stats(counter.packer.stats, reader.stats)
-    else:
-        batches = []
-        for rec in striped_records(path, host, n_hosts, stride):
-            batches.extend(counter.packer.feed(rec.seq))
-        batches.extend(counter.packer.finish())
-
-    if n_hosts > 1:
-        from jax.experimental import multihost_utils
-
-        counts = np.asarray(multihost_utils.process_allgather(
-            np.asarray([len(batches)], np.int64)
-        )).reshape(-1)
-        target = int(counts.max())
-        while len(batches) < target:
-            batches.append(_empty_batch(counter.batch))
-
-    counter._pending.extend(batches)
-    counter._dispatch_pending(force=True)
     counter.finish()
     return mode
-
-
-def _empty_batch(batch_spec):
-    from tsxcount_tpu.io.packer import PackedBatch
-
-    return PackedBatch.empty(batch_spec)

@@ -48,6 +48,7 @@ from tsxcount_tpu.core.counter import (
     _QUERY_BATCH,
     HpBonusMixin,
     IngestProgressMixin,
+    PrefixCollision,
     TableFull,
 )
 from tsxcount_tpu.core.store import CountStore, StoreState
@@ -260,6 +261,7 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
         # (cross-process-summed) ingest stats — see core/counter.py's
         # read-time bonus notes; no device injection, no per-host routing
         self.collapse_hp = collapse_homopolymers
+        self._mix_full_sort = False  # set after a detected prefix collision
         self._build_programs()
         self.state = self._init_state()
         self.packer = ReadPacker(self.batch, n_policy=n_policy, seed=seed,
@@ -369,6 +371,10 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
         canonical = self.canonical
         lanes = spec.lanes
         hashed_store = self.hashed_store
+        # a detected prefix collision (astronomically rare) switches the
+        # recount to the exact full-comparator sort; keys stay hashed
+        # (routing and the store layout require it)
+        uniform = hashed_store and not self._mix_full_sort
 
         def local_step(buf):
             # local slices keep a singleton leading shard axis; drop it.
@@ -385,10 +391,13 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
             hashed = hash_fn.apply(kmers) if hashed_store else kmers
             valid = intervals_to_valid(buf[batch.total_words :], batch)
             # hashed keys are uniform -> the dedupe sort can run on a
-            # 64-bit prefix with the other lanes as payload (exact via
-            # collision fallback) — the k>=63 multi-lane sort saver
+            # 64-bit prefix with the other lanes as payload; collisions
+            # are detected and reported (collide_mode="flag": no compiled
+            # full-sort fallback doubling peak sort temps — the r3 k=127
+            # l=25 OOM cause) and count_file recounts on host
             uc = count_unique(
-                hashed, valid, spec=spec, uniform_prefix=hashed_store
+                hashed, valid, spec=spec, uniform_prefix=uniform,
+                collide_mode="flag",
             )
             p = uc.keys.shape[0]
 
@@ -428,8 +437,15 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
             recv_lens = jax.lax.all_to_all(
                 send_lens.reshape(n_shards, 1), SHARD_AXIS, 0, 0, tiled=False
             ).reshape(n_shards)
-            total_spill = jax.lax.psum(spill[None], SHARD_AXIS)
-            return recv_keys, recv_counts, recv_lens, total_spill
+            taint = (
+                uc.collided if uc.collided is not None
+                else jnp.zeros((), jnp.bool_)
+            )
+            # [spill_total, collision_taint] in one psum'd health vector
+            health = jax.lax.psum(
+                jnp.stack([spill, taint.astype(jnp.int32)]), SHARD_AXIS
+            )
+            return recv_keys, recv_counts, recv_lens, health
 
         def step(buf_stacked):
             # check_vma=False: the Pallas kernels inside (compaction) emit
@@ -561,7 +577,10 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
 
     def _put_group(self, group: list[PackedBatch]):
         """Stack one group of per-shard host batches and start its H2D
-        transfer (runs on the prefetch producer thread)."""
+        transfer (runs on the prefetch producer thread).  One batch per
+        group (shards=1): reshape in place, no host copy."""
+        if len(group) == 1:
+            return self._to_global(group[0].buf[None, :])
         return self._to_global(np.stack([g.buf for g in group]))
 
     def _step_buf(self, buf) -> None:
@@ -697,15 +716,25 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
     def _check_spill(self) -> None:
         if not self._spills:
             return
-        spill = int(sum(
-            np.asarray(jax.device_get(s)).sum() for s in self._spills
-        ))
+        # ONE device round trip for all pending [spill, taint] health
+        # vectors: each device_get pays ~35 ms of tunnel latency, and r4's
+        # shards=1 decomposition showed these per-batch fetches (not the
+        # routing step, which times equal to the single-chip dedupe) were
+        # most of the 32% sharded throughput tax
+        vec = np.asarray(
+            jax.device_get(jnp.concatenate(self._spills))
+        ).reshape(-1, 2)
         self._spills = []
+        self._raise_health(int(vec[:, 0].sum()), bool(vec[:, 1].any()))
+
+    def _raise_health(self, spill: int, tainted: bool) -> None:
         if spill:
             raise TableFull(
                 f"{spill} routed kmers exceeded per-destination capacity "
                 f"{self.route_cap}; increase capacity_factor"
             )
+        if tainted:
+            raise PrefixCollision(PrefixCollision.__doc__)
 
 
     def _global_stats(self) -> "PackStats":
@@ -744,6 +773,37 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
 
     def finish(self) -> None:
         self.flush()
+        if jax.process_count() == 1:
+            # fuse every health check into ONE device round trip: stack
+            # the pending routing-spill counters and the backend capacity
+            # flags on device, fetch once (each device_get costs ~35 ms of
+            # tunnel latency — the r4 shards=1 tax decomposition)
+            if self.backend == "table":
+                flags = [jnp.sum(self.state.spilled)[None]]
+            else:
+                levels = self.state if self.lsm else [self.state]
+                flags = [
+                    jnp.max(st.overflowed.astype(jnp.int32))[None]
+                    for st in levels
+                ]
+            spills = self._spills
+            self._spills = []
+            vec = np.asarray(jax.device_get(
+                jnp.concatenate(spills + flags)
+            ))
+            ns = 2 * len(spills)
+            sp = vec[:ns].reshape(-1, 2)
+            bad = bool(vec[ns:].any())
+            if bad:
+                raise TableFull(
+                    f"{'unresolved reprobes' if self.backend == 'table' else 'capacity overflow'}"
+                    f" in a table shard; rerun with larger --l"
+                )
+            self._raise_health(
+                int(sp[:, 0].sum()) if ns else 0,
+                bool(sp[:, 1].any()) if ns else False,
+            )
+            return
         jax.block_until_ready(self.state)
         self._check_spill()
         if self.backend == "table":
@@ -770,8 +830,33 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
 
         Uses the native C++ parser + prefetch pipeline when available
         (threads > 1 byte-range-splits uncompressed input), exactly like
-        the single-chip path (core/counter.py count_file).
+        the single-chip path (core/counter.py count_file).  A detected
+        dedupe-prefix collision triggers an exact full-comparator recount
+        when the counter held no earlier data (see KmerCounter.count_file).
         """
+        fresh = (
+            self.batches_processed == 0 and self.packer.stats.reads == 0
+        )
+        try:
+            self._count_file_impl(path, use_native)
+        except PrefixCollision:
+            if not fresh or jax.process_count() > 1:
+                # multi-host retry would need every process to agree to
+                # recount; surface instead (probability ~2^-40 per batch)
+                raise
+            import sys
+
+            print(
+                "tsxcount: dedupe-prefix collision detected; recounting "
+                "with the full-comparator sort (exact)", file=sys.stderr,
+            )
+            self._mix_full_sort = True
+            self.reset()
+            self._build_programs()
+            self._count_file_impl(path, use_native)
+
+    def _count_file_impl(self, path: str | Path,
+                         use_native: bool | None = None) -> None:
         from tsxcount_tpu.io.native import NativeFileReader, native_available
         from tsxcount_tpu.io.pipeline import prefetch
 
