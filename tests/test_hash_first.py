@@ -29,14 +29,23 @@ def test_hash_first_counts_exact(k, forced):
 
 
 def test_hash_first_auto_rule():
-    # measured net loss single-chip (r3: slower at k=63, HBM OOM at
-    # k=127 l=25) -> default OFF at every k; opt-in only
+    # r4 measured auto rule: "mix" hash-first engages from 8 lanes up
+    # (k=127: +11%) and stays off below (k=63: slight loss)
     assert not KmerCounter(k=31, l=10, batch_words=64).hash_first
     assert not KmerCounter(k=63, l=10, batch_words=64).hash_first
-    # identity hash is not uniform -> never hash-first even when forced
+    assert KmerCounter(k=127, l=10, batch_words=64).hash_first == "mix"
     assert not KmerCounter(
-        k=63, l=10, batch_words=64, identity_hash=True, hash_first=True
+        k=127, l=10, batch_words=64, hash_first=False
     ).hash_first
+    # identity GF(2) is not uniform -> gf2 mode refuses; the r4 ARX mix
+    # bijection is independent of the GF(2) matrix, so True (= "mix")
+    # still engages under identity_hash
+    assert not KmerCounter(
+        k=63, l=10, batch_words=64, identity_hash=True, hash_first="gf2"
+    ).hash_first
+    assert KmerCounter(
+        k=63, l=10, batch_words=64, identity_hash=True, hash_first=True
+    ).hash_first == "mix"
     # table backend stores slot encodings, not sorted keys
     assert not KmerCounter(
         k=63, l=14, batch_words=64, backend="table", hash_first=True

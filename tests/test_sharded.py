@@ -121,3 +121,24 @@ def test_sharded_canonical():
     for kmer_str, c in naive_kmers(reads, 9).items():
         want[min(kmer_str, _revcomp(kmer_str))] += c
     assert counter.to_dict() == dict(want)
+
+
+def test_routing_hash_gf2_mode_still_exact(tmp_path):
+    """The r3 GF(2) routing bijection stays available (routing_hash='gf2')
+    and checkpoint round-trips tag the mode so old files keep decoding."""
+    from tsxcount_tpu.core.checkpoint import load_counter, save_counter
+
+    reads = rand_reads(np.random.default_rng(21), 12, 30, 90)
+    for rh in ("gf2", "mix"):
+        c = ShardedKmerCounter(k=11, n_shards=4, l=15, batch_words=32,
+                               routing_hash=rh)
+        assert c.routing_hash == rh
+        c.add_reads(reads)
+        c.finish()
+        want = dict(naive_kmers(reads, 11))
+        assert c.to_dict() == want
+        path = tmp_path / f"s_{rh}.npz"
+        save_counter(c, path)
+        r = load_counter(path, batch_words=32)
+        assert r.routing_hash == rh
+        assert r.to_dict() == want

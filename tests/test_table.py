@@ -138,3 +138,67 @@ def test_get_positions_debug_api():
         p2, r2, f2 = table.get_positions(state, jnp.asarray(absent))
         if not bool(np.asarray(f2)[0]):
             assert int(np.asarray(p2)[0]) == -1
+
+
+def test_two_level_residue_schedule_exact():
+    """The r4 two-level insert (full-width rounds -> compacted residue
+    rounds) must agree exactly with per-key reference counts on a batch
+    whose collisions force MANY rounds through both loops, including a
+    tiny residue_frac so the residue buffer is exercised hard."""
+    import numpy as np
+
+    table, spec = _make_table(k=14, l=6, max_reprobes=40)
+    rng = np.random.default_rng(9)
+    p = 1024
+    # few distinct keys, heavy duplication across slots of a 64-slot table
+    base = rng.integers(0, 4**7, size=40, dtype=np.uint32)
+    keys = np.unique(base)[:, None].astype(np.uint32)
+    n_k = len(keys)
+    ukeys = np.zeros((p, 1), np.uint32)
+    ukeys[:n_k] = keys
+    ucounts = np.zeros(p, np.int32)
+    ucounts[:n_k] = rng.integers(1, 9, size=n_k)
+    uvalid = np.arange(p) < n_k
+    state = table.init_state()
+    mid, r1, unres = jax.jit(
+        lambda st, k_, c, v: table.insert_phase1(st, k_, c, v,
+                                                 residue_frac=16)
+    )(state, jnp.asarray(ukeys), jnp.asarray(ucounts), jnp.asarray(uvalid))
+    state = jax.jit(
+        lambda st, k_, c, u, r: table.insert_phase2(st, k_, c, u, r,
+                                                    residue_frac=16)
+    )(mid, jnp.asarray(ukeys), jnp.asarray(ucounts), unres, r1)
+    assert int(jax.device_get(state.spilled)) == 0
+    assert int(jax.device_get(state.n)) == n_k
+    digits, found = jax.jit(table.lookup)(state, jnp.asarray(ukeys[:n_k]))
+    assert bool(np.all(np.asarray(jax.device_get(found))))
+    got = np.asarray(jax.device_get(digits))[:, 0]
+    np.testing.assert_array_equal(got, ucounts[:n_k])
+
+
+def test_residue_overflow_spills_exactly():
+    """Rows that cannot fit the residue buffer once the reprobe budget is
+    exhausted must be counted spilled (not silently dropped)."""
+    import numpy as np
+
+    spec = KmerSpec(14)
+    # 8 slots, 2 reprobes: most of a 300-key batch must spill
+    table = QuotientTable(spec, 3, GF2Hash(spec, seed=3), max_reprobes=2)
+    rng = np.random.default_rng(4)
+    p = 512
+    keys = np.unique(
+        rng.integers(0, 4**7, size=400, dtype=np.uint32)
+    )[:300][:, None]
+    n_k = len(keys)
+    ukeys = np.zeros((p, 1), np.uint32)
+    ukeys[:n_k] = keys
+    ucounts = np.ones(p, np.int32)
+    uvalid = np.arange(p) < n_k
+    state = jax.jit(table.insert)(
+        table.init_state(), jnp.asarray(ukeys), jnp.asarray(ucounts),
+        jnp.asarray(uvalid),
+    )
+    resolved = int(jax.device_get(state.n))
+    spilled = int(jax.device_get(state.spilled))
+    assert resolved + spilled == n_k  # nothing lost, nothing double-counted
+    assert spilled > 0

@@ -81,9 +81,20 @@ def main() -> int:
     ucounts_d = jnp.asarray(ucounts)
     uvalid_d = jnp.asarray(uvalid)
 
-    insert = jax.jit(table.insert)
+    # NB: a STANDALONE jit(table.insert) at l=26 makes XLA materialize the
+    # [slots, 3] digit state in a (8,128)-tiled layout (3 -> 128 minor-dim
+    # padding = 32 GiB, compile-time OOM).  The production path never
+    # does this (state flows between the dedupe/phase jits with linear
+    # layouts); bench the single-program insert only at l <= 24.
     st = table.init_state()
-    out = insert(st, ukeys_d, ucounts_d, uvalid_d)
+    if args.l <= 24:
+        insert = jax.jit(table.insert)
+        out = insert(st, ukeys_d, ucounts_d, uvalid_d)
+    else:
+        phase1j = jax.jit(table.insert_phase1)
+        phase2j = jax.jit(table.insert_phase2)
+        mid, r1_, un_ = phase1j(st, ukeys_d, ucounts_d, uvalid_d)
+        out = phase2j(mid, ukeys_d, ucounts_d, un_, r1_)
     fence(out.n)
     hist = np.asarray(jax.device_get(out.probe_hist))
     rounds = int(np.nonzero(hist)[0].max()) + 1 if hist.any() else 0
@@ -101,8 +112,20 @@ def main() -> int:
 
     # full insert into an EMPTY table each call (state not donated here so
     # the same input state can repeat)
-    timed("insert (empty table)", lambda: insert(st, ukeys_d, ucounts_d,
-                                                 uvalid_d))
+    if args.l <= 24:
+        timed("insert (empty table)",
+              lambda: insert(st, ukeys_d, ucounts_d, uvalid_d))
+
+    # the r4 production path: phase1 (full-width rounds until the residue
+    # fits 1/8) + phase2 (compact + residue-width rounds), two dispatches
+    phase1 = jax.jit(table.insert_phase1)
+    phase2 = jax.jit(table.insert_phase2)
+
+    def split_insert():
+        mid, r1, unres = phase1(st, ukeys_d, ucounts_d, uvalid_d)
+        return phase2(mid, ukeys_d, ucounts_d, unres, r1)
+
+    timed("insert split-phase", split_insert)
 
     # claims sort alone at full width
     idx = jnp.arange(n, dtype=jnp.int32)

@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GF(2) hash matrix seed (default: fixed)")
     c.add_argument("--identity-hash", action="store_true",
                    help="debug: identity hash instead of random GF(2)")
+    c.add_argument("--routing-hash", choices=("mix", "gf2"), default="mix",
+                   help="sharded routing bijection: 'mix' (ARX lane mix, "
+                        "r4 default) or 'gf2' (the r3 MXU matmul; what "
+                        "pre-r4 sharded checkpoints used)")
     c.add_argument("--mix-prefix", action="store_true", default=None,
                    help="single-chip sort backend: dedupe-sort on a cheap "
                         "VPU mixing-hash prefix over extended keys "
@@ -169,7 +173,8 @@ def cmd_count(args: argparse.Namespace) -> int:
 
         counter = ShardedKmerCounter(
             n_shards=args.shards,
-            collapse_homopolymers=hp_collapse, **kwargs,
+            collapse_homopolymers=hp_collapse,
+            routing_hash=args.routing_hash, **kwargs,
         )
     else:
         counter = KmerCounter(collapse_homopolymers=hp_collapse,

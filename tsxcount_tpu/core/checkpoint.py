@@ -49,6 +49,9 @@ def save_counter(counter, path: str | Path) -> None:
         "lsm_growth": getattr(counter, "lsm_growth", 8),
         "merge_every": getattr(counter, "merge_every", 1),
         "n_shards": getattr(counter, "n_shards", 0),  # 0 = unsharded
+        # sharded stores hold the routing bijection's image; r4 default is
+        # the ARX lane mix, pre-r4 files were GF(2)
+        "routing_hash": getattr(counter, "routing_hash", "gf2"),
         "max_reprobes": (
             counter.table.max_reprobes
             if counter.backend == "table" else 0
@@ -176,6 +179,7 @@ def _load_sharded(meta, data, batch_words, devices):
         lsm_growth=meta.get("lsm_growth", 8),
         merge_every=meta.get("merge_every", 4),
         max_reprobes=meta.get("max_reprobes") or 64,
+        routing_hash=meta.get("routing_hash", "gf2"),
         devices=devices,
     )
     _restore_hash(counter, data)

@@ -242,8 +242,20 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         # is the ARX lane-mix Feistel (ops/mix.py LaneMixBijection) whose
         # apply is ~30 VPU ops/lane — same comparator saving, none of the
         # matmul cost, and the column (unstacked) extraction is kept.
-        if hash_first is None or hash_first is False:
-            hash_first = False
+        if hash_first is None:
+            # auto rule, r4-measured on one v5e: "mix" WINS at 8 lanes
+            # (k=127: 29.3M vs 26.4M, +11% — the 8-column comparator
+            # shrinks to 2) and LOSES slightly at 4 lanes (k=63: 44.0M vs
+            # 45.3M) where there is less comparator to save; engage from
+            # 8 lanes (k >= 113) up, unless the user asked for mix_prefix
+            hash_first = (
+                "mix" if (
+                    backend == "sort" and not mix_prefix
+                    and KmerSpec(k).lanes >= 8
+                ) else False
+            )
+        if hash_first is False:
+            pass
         elif hash_first is True or hash_first == "mix":
             hash_first = "mix"
         elif hash_first != "gf2":
@@ -283,7 +295,7 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         # set after a detected prefix collision: rebuild the ingest with
         # the full-comparator sort and recount (count_file drives this)
         self._mix_full_sort = False
-        self._taint = None  # running OR of per-batch collision flags
+        self._taints: list = []  # per-batch collision flags (device)
         # read_len_hint sizes the interval-coded validity budget (see
         # BatchSpec.max_intervals); 0 = auto-detect from the first read
         self._auto_hint = read_len_hint == 0
@@ -436,15 +448,24 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
                     kmers, valid, spec=store_spec,
                     uniform_prefix=uniform, collide_mode="flag",
                 )
-                taint = (
-                    uc.collided if uc.collided is not None
-                    else jnp.zeros((), jnp.bool_)
-                )
-                return uc.keys, uc.counts, uc.valid, taint
+                if uniform:
+                    return uc.keys, uc.counts, uc.valid, uc.collided
+                # no taint output on the full-comparator path: it cannot
+                # collide, and even one extra EAGER device op per batch
+                # costs ~40 ms of tunnel dispatch (r4 regression: 63.7M ->
+                # 45.2M from per-batch `taint | taint` ops)
+                return uc.keys, uc.counts, uc.valid
 
+            self._dedupe_returns_taint = uniform
             self._dedupe = jax.jit(dedupe)
         else:
             self._step = jax.jit(self._make_step(), donate_argnums=(0,))
+            self._step2 = jax.jit(
+                lambda st, k, c, u, r: self.table.insert_phase2(
+                    st, k, c, u, r
+                ),
+                donate_argnums=(0,),
+            )
 
     def _adapt_read_len(self, read_lens) -> None:
         """One-shot auto-sizing of the interval budget from the first few
@@ -470,12 +491,17 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
     # --- jitted device steps ---
 
     def _make_step(self):
+        """Table-backend ingest, phase 1 of 2: dedupe + full-width reprobe
+        rounds until the unresolved residue fits 1/8 width.  Phase 2
+        (table.insert_phase2) is a SEPARATE jitted dispatch — fusing the
+        two round loops into one program makes XLA tile the [slots, 3]
+        digit array pathologically (32 GiB at l=26; see table.py)."""
         batch = self.batch
         table = self.table
 
         canonical = self.canonical
 
-        def step(state, buf):
+        def step1(state, buf):
             words = buf[: batch.total_words]
             if canonical:
                 kmers = canonicalize(extract_kmers(words, batch), batch.spec)
@@ -483,9 +509,12 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
                 kmers = extract_kmer_cols(words, batch)
             valid = intervals_to_valid(buf[batch.total_words :], batch)
             uc = count_unique(kmers, valid, spec=batch.spec)
-            return table.insert(state, uc.keys, uc.counts, uc.valid)
+            mid, r1, unresolved = table.insert_phase1(
+                state, uc.keys, uc.counts, uc.valid
+            )
+            return mid, uc.keys, uc.counts, unresolved, r1
 
-        return step
+        return step1
 
     def _flush_pending(self) -> None:
         """Fold pending batch histograms into the store (sort backend)."""
@@ -526,7 +555,7 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
             self.batch, n_policy=self.n_policy, seed=self.seed,
             collapse=self.collapse_hp,
         )
-        self._taint = None
+        self._taints = []
         self.batches_processed = 0
         self.elapsed = 0.0
 
@@ -544,17 +573,22 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         t0 = time.perf_counter()
         for buf in bufs:
             if self.backend == "sort":
-                k, c, v, taint = self._dedupe(buf)
-                self._pending_uc.append((k, c, v))
-                # running OR keeps ONE tiny device buffer alive (checked
-                # once at finish — no per-batch sync)
-                self._taint = (
-                    taint if self._taint is None else self._taint | taint
-                )
+                out = self._dedupe(buf)
+                self._pending_uc.append(out[:3])
+                if self._dedupe_returns_taint:
+                    # append only — NO eager device ops per batch (each
+                    # one costs a ~40 ms tunnel dispatch); coalesced in
+                    # bulk below and checked once at finish
+                    self._taints.append(out[3])
+                    if len(self._taints) >= 256:
+                        self._taints = [jnp.any(jnp.stack(self._taints))]
                 if len(self._pending_uc) >= self.merge_every:
                     self._flush_pending()
             else:
-                self.state = self._step(self.state, buf)
+                mid, keys, counts, unresolved, r1 = self._step(
+                    self.state, buf
+                )
+                self.state = self._step2(mid, keys, counts, unresolved, r1)
             self.batches_processed += 1
             self._maybe_progress(stats_fn)
         self.elapsed += time.perf_counter() - t0
@@ -589,21 +623,20 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         if self.backend == "sort":
             states = self.state if self.lsm else [self.state]
             # one round trip for overflow flags of every level + the
-            # dedupe-collision taint (each device_get pays the full
+            # dedupe-collision taints (each device_get pays the full
             # tunnel latency)
             flags = [s.overflowed for s in states]
-            if self._taint is not None:
-                flags.append(self._taint)
-            vec = np.asarray(jax.device_get(jnp.stack(flags)))
-            tainted = self._taint is not None and bool(vec[-1])
+            taints = self._taints
+            self._taints = []
+            vec = np.asarray(jax.device_get(jnp.stack(flags + taints)))
             n_over = len(states)
+            tainted = bool(vec[n_over:].any())
             if bool(vec[:n_over].any()):
                 raise TableFull(
                     f"distinct kmers exceeded capacity 2^{self.l}; rerun with "
                     f"a larger --l (reference exits 42 here)"
                 )
             if tainted:
-                self._taint = None
                 raise PrefixCollision(PrefixCollision.__doc__)
         else:
             spilled = int(jax.device_get(self.state.spilled))

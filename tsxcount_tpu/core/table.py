@@ -96,18 +96,23 @@ class QuotientTable:
         cleared = h.at[:, 0].set(h[:, 0] & ~self._low_mask)
         return pos0, cleared
 
-    def insert(self, state: TableState, ukeys: jax.Array, ucounts: jax.Array,
-               uvalid: jax.Array) -> TableState:
-        """Insert a deduplicated batch histogram (keys unique where uvalid)."""
-        p = ukeys.shape[0]
-        s = self.slots
-        pos0, cleared = self._hash_parts(ukeys)
-        add_digits = int32_to_digits(ucounts.astype(jnp.int32))
-        idx_arr = jnp.arange(p, dtype=jnp.int32)
+    def _round_body(self, pos0, cleared, add_digits):
+        """One batched reprobe round over rows (pos0, cleared, add_digits)
+        — shape-generic (full batch or the compacted residue).
 
-        def cond(carry):
-            r, unresolved, *_ = carry
-            return (r < self.max_reprobes) & jnp.any(unresolved)
+        Deterministic claim, scatter-free arbitration: sort contenders by
+        (slot, row); the first row of each slot run wins.  O(P log P) on
+        the batch instead of an O(2^L) claims array, and the map back to
+        row order is a permutation scatter.  Same semantics as the
+        reference's CAS arbitration (TSXHashMapCAS.h:268-508): exactly one
+        contender claims a slot, losers re-probe.  Every scatter has
+        provably unique indices (winner slots distinct, match slots are
+        distinct keys, non-updated rows get distinct out-of-bounds indices
+        s+i that drop), which lets XLA vectorize them.
+        """
+        p = pos0.shape[0]
+        s = self.slots
+        idx_arr = jnp.arange(p, dtype=jnp.int32)
 
         def body(carry):
             r, unresolved, keys, digits, used, n, hist = carry
@@ -119,12 +124,6 @@ class QuotientTable:
             key_g = keys[pos]
             match = unresolved & used_g & keys_equal(key_g, slotkey)
             empty = unresolved & ~used_g
-            # deterministic claim, scatter-free: sort contenders by
-            # (slot, row); the first row of each slot run wins.  O(P log P)
-            # on the batch instead of an O(2^L) claims array, and the map
-            # back to row order is a permutation scatter.  Same semantics
-            # as the reference's CAS arbitration (TSXHashMapCAS.h:268-508):
-            # exactly one contender claims a slot, losers re-probe.
             ckey = jnp.where(empty, pos, s).astype(jnp.uint32)
             ckey_s, idx_s = jax.lax.sort((ckey, idx_arr), num_keys=2)
             first = jnp.concatenate(
@@ -135,10 +134,6 @@ class QuotientTable:
                 win_s, unique_indices=True
             )
             upd = match | winner
-            # every scatter below has provably unique indices (winner slots
-            # are distinct, match slots are distinct keys, and non-updated
-            # rows get distinct out-of-bounds indices s+i that drop), which
-            # lets XLA vectorize them instead of serializing
             safe_upd = jnp.where(upd, pos, s + idx_arr)
             safe_win = jnp.where(winner, pos, s + idx_arr)
             digits = digits.at[safe_upd].add(
@@ -156,13 +151,130 @@ class QuotientTable:
             )
             return r + 1, unresolved & ~upd, keys, digits, used, n, hist
 
-        unresolved0 = uvalid
+        return body
+
+    def insert(self, state: TableState, ukeys: jax.Array, ucounts: jax.Array,
+               uvalid: jax.Array) -> TableState:
+        """Insert a deduplicated batch histogram (keys unique where uvalid).
+
+        Single-program round loop (the sharded per-shard path and generic
+        callers).  The single-chip counter uses the two-dispatch
+        insert_phase1/insert_phase2 pair instead — same semantics, but the
+        residue rounds run at 1/8 width (VERDICT r3 #7).  The two-level
+        schedule must NOT live inside one program: a while_loop -> sort ->
+        while_loop chain makes XLA materialize the [slots, 3] digit array
+        in a (8,128)-tiled layout (minor dim padded 3 -> 128 = 32 GiB at
+        l=26, a compile-time OOM observed on the v5e); a dispatch boundary
+        between the phases keeps the r3-proven layouts.
+        """
+        p = ukeys.shape[0]
+        pos0, cleared = self._hash_parts(ukeys)
+        add_digits = int32_to_digits(ucounts.astype(jnp.int32))
+        body = self._round_body(pos0, cleared, add_digits)
+
+        def cond(carry):
+            r, unresolved, *_ = carry
+            return (r < self.max_reprobes) & jnp.any(unresolved)
+
         r, unresolved, keys, digits, used, n, hist = jax.lax.while_loop(
             cond, body,
-            (jnp.zeros((), jnp.int32), unresolved0, state.keys, state.digits,
+            (jnp.zeros((), jnp.int32), uvalid, state.keys, state.digits,
              state.used, state.n, state.probe_hist),
         )
         spilled = state.spilled + jnp.sum(unresolved.astype(jnp.int32))
+        return TableState(
+            keys=keys,
+            digits=renorm_digits(digits),
+            used=used,
+            n=n,
+            spilled=spilled,
+            probe_hist=hist,
+        )
+
+    def insert_phase1(self, state: TableState, ukeys: jax.Array,
+                      ucounts: jax.Array, uvalid: jax.Array,
+                      residue_frac: int = 8):
+        """Full-width reprobe rounds while the unresolved set exceeds the
+        residue buffer (p // residue_frac) — typically one round: the
+        non-colliding majority resolves immediately.
+
+        Returns (state', r1, unresolved): digits NOT yet renormalized —
+        insert_phase2 must ALWAYS follow (it finishes the rounds at
+        residue width and renormalizes).  The two phases are separate
+        jitted dispatches on purpose (see insert docstring: a fused
+        program tiles the digit array pathologically).
+        """
+        p = ukeys.shape[0]
+        p_small = min(p, max(256, p // residue_frac))
+        pos0, cleared = self._hash_parts(ukeys)
+        add_digits = int32_to_digits(ucounts.astype(jnp.int32))
+        body = self._round_body(pos0, cleared, add_digits)
+        max_r = self.max_reprobes
+
+        def cond(carry):
+            r, unresolved, *_ = carry
+            return (r < max_r) & (
+                jnp.sum(unresolved.astype(jnp.int32)) > p_small
+            )
+
+        r1, unresolved, keys, digits, used, n, hist = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), uvalid, state.keys, state.digits,
+             state.used, state.n, state.probe_hist),
+        )
+        mid = TableState(
+            keys=keys, digits=digits, used=used, n=n,
+            spilled=state.spilled, probe_hist=hist,
+        )
+        return mid, r1, unresolved
+
+    def insert_phase2(self, state: TableState, ukeys: jax.Array,
+                      ucounts: jax.Array, unresolved: jax.Array,
+                      r1: jax.Array, residue_frac: int = 8) -> TableState:
+        """Finish an insert: compact the unresolved residue (one
+        payload-carrying sort), re-derive its probe state at 1/residue_frac
+        width, and run the remaining rounds there — ~residue_frac x cheaper
+        claim sorts/scatters per round than the r3 full-width loop.
+
+        Exactness: the same rounds run in the same relative row order over
+        the same rows (the compaction sort is stable on the original
+        index), so claims resolve identically; rows that cannot fit the
+        residue buffer once the reprobe budget is exhausted are counted
+        spilled, as before.
+        """
+        p = ukeys.shape[0]
+        p_small = min(p, max(256, p // residue_frac))
+        max_r = self.max_reprobes
+        arange = jnp.arange(p, dtype=jnp.int32)
+        ckey = jnp.where(unresolved, arange, p)
+        lanes = ukeys.shape[1]
+        sorted_cols = jax.lax.sort(
+            (ckey, ucounts.astype(jnp.int32))
+            + tuple(ukeys[:, j] for j in range(lanes)),
+            num_keys=1,
+        )
+        counts_s = sorted_cols[1][:p_small]
+        ukeys_s = jnp.stack([c[:p_small] for c in sorted_cols[2:]], axis=1)
+        n1 = jnp.sum(unresolved.astype(jnp.int32))
+        carried = jnp.minimum(n1, p_small)
+        lost = n1 - carried
+        unres_s = jnp.arange(p_small, dtype=jnp.int32) < carried
+        pos0_s, cleared_s = self._hash_parts(ukeys_s)
+        add_digits_s = int32_to_digits(counts_s)
+        body = self._round_body(pos0_s, cleared_s, add_digits_s)
+
+        def cond(carry):
+            r, unresolved, *_ = carry
+            return (r < max_r) & jnp.any(unresolved)
+
+        _, unres_end, keys, digits, used, n, hist = jax.lax.while_loop(
+            cond, body,
+            (r1, unres_s, state.keys, state.digits,
+             state.used, state.n, state.probe_hist),
+        )
+        spilled = state.spilled + lost + jnp.sum(
+            unres_end.astype(jnp.int32)
+        )
         return TableState(
             keys=keys,
             digits=renorm_digits(digits),

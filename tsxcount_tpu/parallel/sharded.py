@@ -170,6 +170,7 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
         read_len_hint: int = 0,
         collapse_homopolymers: bool = False,
         progress_every: int = 0,
+        routing_hash: str = "mix",
     ):
         self.progress_every = max(0, progress_every)
         self.threads = threads if threads > 0 else 1
@@ -190,12 +191,37 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
         self.canonical = canonical
         self.mesh = make_shard_mesh(n_shards, devices=devices)
         self.hash_fn = GF2Hash(self.spec, seed=hash_seed, identity=identity_hash)
+        # the bijection the sharded stream rides: keys are mapped BEFORE
+        # dedupe so the dedupe sort doubles as the routing sort.  r4
+        # default is the ARX lane-mix (ops/mix.py LaneMixBijection,
+        # ~30 VPU ops/lane); "gf2" keeps the r3 MXU matmul (and is what
+        # pre-r4 sharded checkpoints were written with).  identity_hash
+        # (debug) forces the GF(2) identity and disables the uniform-
+        # prefix sort (an identity image is not uniform).
+        if routing_hash not in ("mix", "gf2"):
+            raise ValueError("routing_hash must be 'mix' or 'gf2'")
+        if identity_hash:
+            routing_hash = "gf2"
+        self.routing_hash = routing_hash
+        if routing_hash == "mix":
+            from tsxcount_tpu.ops.mix import LaneMixBijection
+
+            self.route_map = LaneMixBijection(self.spec)
+        else:
+            self.route_map = self.hash_fn
         # n_shards == 1 degenerate: ownership is trivially shard 0, so the
         # per-position bijective hash buys nothing — store RAW keys and the
         # pipeline matches the single-chip counter (queries/exports skip
         # the hash/inverse too).  The table backend still hashes: its slot
         # addressing needs uniform low bits (TSXHashMap.h:759-778 analog).
-        self.hashed_store = n_shards > 1 or self.backend == "table"
+        # Exception (r4, same auto rule as KmerCounter.hash_first): at
+        # >= 8 key lanes the lane-mix image + 2-column uniform-prefix sort
+        # beats the full 8-column comparator (+11% at k=127), so wide-key
+        # single-shard stores ride the bijection too.
+        self.hashed_store = (
+            n_shards > 1 or self.backend == "table"
+            or (routing_hash == "mix" and self.spec.lanes >= 8)
+        )
         # owner-side runs are merged in deferred groups of merge_every
         # batches (sort backend); the table backend resolves every batch
         # (its insert cost is per-round, not per-capacity)
@@ -276,11 +302,11 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
         self._step = jax.jit(self._make_step())
         self._merge = jax.jit(self._make_merge(), donate_argnums=(0,))
         self._lookup = jax.jit(self._make_lookup())
-        canonical, spec, hash_fn = self.canonical, self.spec, self.hash_fn
+        canonical, spec, route_map = self.canonical, self.spec, self.route_map
         hashed_store = self.hashed_store
         self._prep_queries = jax.jit(
             lambda q: (
-                hash_fn.apply(canonicalize(q, spec) if canonical else q)
+                route_map.apply(canonicalize(q, spec) if canonical else q)
                 if hashed_store
                 else (canonicalize(q, spec) if canonical else q)
             )
@@ -367,14 +393,18 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
         spec = self.spec
         n_shards = self.n_shards
         cap = self.route_cap
-        hash_fn = self.hash_fn
+        route_map = self.route_map
         canonical = self.canonical
         lanes = spec.lanes
         hashed_store = self.hashed_store
         # a detected prefix collision (astronomically rare) switches the
         # recount to the exact full-comparator sort; keys stay hashed
-        # (routing and the store layout require it)
-        uniform = hashed_store and not self._mix_full_sort
+        # (routing and the store layout require it).  The debug identity
+        # hash never sorts a "uniform" prefix (its image is the raw key).
+        uniform = (
+            hashed_store and not self._mix_full_sort
+            and not self.hash_fn.identity
+        )
 
         def local_step(buf):
             # local slices keep a singleton leading shard axis; drop it.
@@ -388,7 +418,7 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
             # and the dedupe sort then doubles as the routing sort (owners
             # are a range partition of the top hash bits).  1-shard raw
             # mode: every row is owned by shard 0, no hash needed.
-            hashed = hash_fn.apply(kmers) if hashed_store else kmers
+            hashed = route_map.apply(kmers) if hashed_store else kmers
             valid = intervals_to_valid(buf[batch.total_words :], batch)
             # hashed keys are uniform -> the dedupe sort can run on a
             # 64-bit prefix with the other lanes as payload; collisions
@@ -990,7 +1020,7 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
             keys = self._shard_rows(state.keys, shard, n)
             digits = self._shard_rows(state.digits, shard, n)
             kmers = (
-                self.hash_fn.inv_apply_host(keys)
+                self.route_map.inv_apply_host(keys)
                 if self.hashed_store else keys
             )
             strings = kmers_to_strings(kmers, self.spec)
@@ -1028,7 +1058,7 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
             # the shard table runs an identity mapping over pre-hashed keys:
             # to_host returns hashed kmers, inverse-map them here
             hashed, counts, n = self.table.to_host(shard_state)
-            kmers = self.hash_fn.inv_apply_host(hashed) if n else hashed
+            kmers = self.route_map.inv_apply_host(hashed) if n else hashed
             strings = kmers_to_strings(kmers, self.spec)
             for kmer_str, cnt in zip(strings, counts):
                 yield kmer_str, int(cnt)
