@@ -109,8 +109,7 @@ def test_deterministic_layout():
     keys = rng.integers(0, 2**28, size=(200, 1), dtype=np.uint32)
     s1 = _insert_batch(table, table.init_state(), keys, np.ones(200, bool))
     s2 = _insert_batch(table, table.init_state(), keys, np.ones(200, bool))
-    np.testing.assert_array_equal(np.asarray(s1.keys), np.asarray(s2.keys))
-    np.testing.assert_array_equal(np.asarray(s1.digits), np.asarray(s2.digits))
+    np.testing.assert_array_equal(np.asarray(s1.slots), np.asarray(s2.slots))
 
 
 def test_get_positions_debug_api():

@@ -81,18 +81,18 @@ def main() -> int:
     ucounts_d = jnp.asarray(ucounts)
     uvalid_d = jnp.asarray(uvalid)
 
-    # NB: a STANDALONE jit(table.insert) at l=26 makes XLA materialize the
-    # [slots, 3] digit state in a (8,128)-tiled layout (3 -> 128 minor-dim
-    # padding = 32 GiB, compile-time OOM).  The production path never
-    # does this (state flows between the dedupe/phase jits with linear
+    # NB: STANDALONE tiny jits over [slots, few] state arrays at l=26 can
+    # make XLA pick a (8,128)-tiled layout (minor dim padded to 128 =
+    # 25x inflation, 32 GiB, compile-time OOM).  Build ONE jit per
+    # program and reuse it (each fresh jax.jit wrapper re-negotiates
     # layouts); bench the single-program insert only at l <= 24.
     st = table.init_state()
+    phase1j = jax.jit(table.insert_phase1)
+    phase2j = jax.jit(table.insert_phase2)
     if args.l <= 24:
         insert = jax.jit(table.insert)
         out = insert(st, ukeys_d, ucounts_d, uvalid_d)
     else:
-        phase1j = jax.jit(table.insert_phase1)
-        phase2j = jax.jit(table.insert_phase2)
         mid, r1_, un_ = phase1j(st, ukeys_d, ucounts_d, uvalid_d)
         out = phase2j(mid, ukeys_d, ucounts_d, un_, r1_)
     fence(out.n)
@@ -118,12 +118,9 @@ def main() -> int:
 
     # the r4 production path: phase1 (full-width rounds until the residue
     # fits 1/8) + phase2 (compact + residue-width rounds), two dispatches
-    phase1 = jax.jit(table.insert_phase1)
-    phase2 = jax.jit(table.insert_phase2)
-
     def split_insert():
-        mid, r1, unres = phase1(st, ukeys_d, ucounts_d, uvalid_d)
-        return phase2(mid, ukeys_d, ucounts_d, unres, r1)
+        mid, r1, unres = phase1j(st, ukeys_d, ucounts_d, uvalid_d)
+        return phase2j(mid, ukeys_d, ucounts_d, unres, r1)
 
     timed("insert split-phase", split_insert)
 
@@ -135,26 +132,27 @@ def main() -> int:
     timed("claims sort (2 ops)",
           jax.jit(lambda c, i: jax.lax.sort((c, i), num_keys=2)), ckey, idx)
 
-    # one scatter round alone
-    def scatter_round(state, posx):
+    # one combined-row scatter round alone (the r4 layout: one scatter of
+    # [key lanes | digits | used] replaces the r3 three-array scatters
+    # measured at 901 ms)
+    cols = table.slot_cols
+    row_vals = jnp.asarray(
+        rng.integers(0, 3, size=(n, cols), dtype=np.uint32)
+    )
+
+    def scatter_round(slots_arr, posx):
         safe = jnp.where(uvalid_d, posx, table.slots + idx)
-        digits = state.digits.at[safe].add(
-            jnp.ones((n, 3), jnp.int32), mode="drop", unique_indices=True
+        return slots_arr.at[safe].add(
+            row_vals, mode="drop", unique_indices=True
         )
-        keys = state.keys.at[safe].set(
-            ukeys_d, mode="drop", unique_indices=True
-        )
-        used = state.used.at[safe].set(True, mode="drop",
-                                       unique_indices=True)
-        return digits, keys, used
 
-    timed("scatter round (3 arrays)", jax.jit(scatter_round), st, pos)
+    timed("scatter round (1 array)", jax.jit(scatter_round), out.slots, pos)
 
-    # gather round alone (used/key reads at probe positions)
-    def gather_round(state, posx):
-        return state.used[posx], state.keys[posx]
+    # gather round alone (combined-row read at probe positions)
+    def gather_round(slots_arr, posx):
+        return slots_arr[posx]
 
-    timed("gather round", jax.jit(gather_round), out, pos)
+    timed("gather round", jax.jit(gather_round), out.slots, pos)
 
     # insert with rows sliced to the unique prefix (half batch)
     half = n // 2

@@ -78,6 +78,21 @@ def save_counter(counter, path: str | Path) -> None:
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
 
+def _state_array(name: str, data) -> np.ndarray:
+    """Fetch one state field, migrating pre-r4 table layouts: old files
+    stored keys/digits/used as three arrays; the r4 TableState packs them
+    into one combined `slots` row array (core/table.py)."""
+    key = f"state_{name}"
+    if key in data:
+        return data[key]
+    if name == "slots" and "state_keys" in data:
+        keys = np.asarray(data["state_keys"])
+        digits = np.asarray(data["state_digits"]).view(np.uint32)
+        used = np.asarray(data["state_used"]).astype(np.uint32)[:, None]
+        return np.concatenate([keys, digits, used], axis=1)
+    raise KeyError(f"checkpoint missing state field {name}")
+
+
 def _restore_hash(counter, data) -> None:
     """Restore the exact hash matrix (layout-defining for table backend)."""
     import jax.numpy as jnp
@@ -141,7 +156,7 @@ def _load_single(meta, data, batch_words):
     state_cls = type(ref_state)
     loaded = state_cls(
         **{
-            name: jnp.asarray(data[f"state_{name}"])
+            name: jnp.asarray(_state_array(name, data))
             for name in ref_state._fields
         }
     )
@@ -188,7 +203,7 @@ def _load_sharded(meta, data, batch_words, devices):
     sharding = NamedSharding(counter.mesh, P(SHARD_AXIS))
     loaded = state_cls(
         **{
-            name: jax.device_put(data[f"state_{name}"], sharding)
+            name: jax.device_put(_state_array(name, data), sharding)
             for name in ref_state._fields
         }
     )

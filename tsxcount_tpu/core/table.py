@@ -41,14 +41,33 @@ from tsxcount_tpu.ops.lanes import keys_equal
 
 
 class TableState(NamedTuple):
-    keys: jax.Array    # uint32 [slots, lanes]: (func << L) | reprobe
-    digits: jax.Array  # int32  [slots, 3]
-    used: jax.Array    # bool   [slots]  (the m_iKmerStarts analog)
+    # ONE combined slot array (r4): columns [key lanes | 3 count digits
+    # (int32 bitcast into uint32 lanes) | used flag].  The r3 layout kept
+    # keys/digits/used as three arrays, which cost THREE gathers + THREE
+    # scatters per reprobe round; tablebench measured the scatters at
+    # 901 ms of a 1.1 s round (80%), and XLA TPU scatter cost is
+    # per-row, so fusing the row into one array cuts the dominant term
+    # (bench: 3.36M -> 4.04M kmers/s).  Semantics unchanged: key =
+    # (func << L) | reprobe (TSXHashMap.h makeKey analog), used is the
+    # m_iKmerStarts analog.  Layout hazard note: [slots, few]-shaped
+    # arrays must never be compiled through STANDALONE tiny jits — XLA
+    # may pick a (8,128)-tiled layout (minor dim padded to 128 = 25x
+    # inflation, 32 GiB at l=26).  The production programs (dedupe+phase1,
+    # phase2) keep it linear; see tools/tablebench.py.
+    slots: jax.Array   # uint32 [slots, lanes + COUNT_DIGITS + 1]
     n: jax.Array       # int32 scalar: distinct kmers
     spilled: jax.Array # int32 scalar: kmers dropped after max reprobes
     probe_hist: jax.Array  # int32 [max_reprobes]: kmers resolved at round r
                            # (the abort-code histogram analog,
                            # reference TSXHashMapTSXPerf.h:195-239)
+
+
+def _bitcast_u32(x: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
+def _bitcast_i32(x: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
 def _triangular(r: jax.Array) -> jax.Array:
@@ -74,15 +93,41 @@ class QuotientTable:
         self.max_reprobes = min(max_reprobes, self.slots - 1)
         self._low_mask = jnp.uint32((1 << l_bits) - 1)
 
+    @property
+    def slot_cols(self) -> int:
+        """Columns of the combined slot array: key lanes + digits + used."""
+        return self.spec.lanes + COUNT_DIGITS + 1
+
     def init_state(self) -> TableState:
-        s, lanes = self.slots, self.spec.lanes
         return TableState(
-            keys=jnp.zeros((s, lanes), jnp.uint32),
-            digits=jnp.zeros((s, COUNT_DIGITS), jnp.int32),
-            used=jnp.zeros((s,), jnp.bool_),
+            slots=jnp.zeros((self.slots, self.slot_cols), jnp.uint32),
             n=jnp.zeros((), jnp.int32),
             spilled=jnp.zeros((), jnp.int32),
             probe_hist=jnp.zeros((self.max_reprobes,), jnp.int32),
+        )
+
+    # --- combined-row views -------------------------------------------------
+
+    def state_keys(self, state: TableState) -> jax.Array:
+        """uint32 [slots, lanes] slot keys ((func << L) | reprobe)."""
+        return state.slots[:, : self.spec.lanes]
+
+    def state_digits(self, state: TableState) -> jax.Array:
+        """int32 [slots, 3] count digits."""
+        lanes = self.spec.lanes
+        return _bitcast_i32(state.slots[:, lanes : lanes + COUNT_DIGITS])
+
+    def state_used(self, state: TableState) -> jax.Array:
+        """bool [slots] — the m_iKmerStarts analog."""
+        return state.slots[:, -1] != 0
+
+    def _with_digits(self, state: TableState, digits: jax.Array
+                     ) -> TableState:
+        lanes = self.spec.lanes
+        return state._replace(
+            slots=jax.lax.dynamic_update_slice(
+                state.slots, _bitcast_u32(digits), (0, lanes)
+            )
         )
 
     def _hash_parts(self, ukeys: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -105,23 +150,34 @@ class QuotientTable:
         the batch instead of an O(2^L) claims array, and the map back to
         row order is a permutation scatter.  Same semantics as the
         reference's CAS arbitration (TSXHashMapCAS.h:268-508): exactly one
-        contender claims a slot, losers re-probe.  Every scatter has
-        provably unique indices (winner slots distinct, match slots are
-        distinct keys, non-updated rows get distinct out-of-bounds indices
-        s+i that drop), which lets XLA vectorize them.
+        contender claims a slot, losers re-probe.
+
+        The slot update is ONE scatter-ADD of the combined row (r4;
+        scatters cost per row on TPU — 901 ms of a 1.1 s r3 round were the
+        three separate key/digit/used scatters): a winner's slot holds
+        zeros, so adding [slotkey | add_digits | 1] IS the claim; a
+        match's row adds [0 | add_digits | 0] so key and used are
+        untouched.  Indices are provably unique (winner slots distinct,
+        match slots are distinct keys, a winner and a match can never
+        target the same slot — one needs it empty, the other used; every
+        non-updated row gets a distinct out-of-bounds index s+i that
+        drops), so XLA vectorizes the scatter.
         """
         p = pos0.shape[0]
         s = self.slots
+        lanes = cleared.shape[1]
         idx_arr = jnp.arange(p, dtype=jnp.int32)
+        add_u32 = _bitcast_u32(add_digits)
 
         def body(carry):
-            r, unresolved, keys, digits, used, n, hist = carry
+            r, unresolved, slots, n, hist = carry
             pos = (pos0 + _triangular(r)) % s
             slotkey = cleared.at[:, 0].set(
                 cleared[:, 0] | jnp.uint32(r)
             )
-            used_g = used[pos]
-            key_g = keys[pos]
+            g = slots[pos]  # ONE gather of the combined row
+            key_g = g[:, :lanes]
+            used_g = g[:, -1] != 0
             match = unresolved & used_g & keys_equal(key_g, slotkey)
             empty = unresolved & ~used_g
             ckey = jnp.where(empty, pos, s).astype(jnp.uint32)
@@ -134,22 +190,23 @@ class QuotientTable:
                 win_s, unique_indices=True
             )
             upd = match | winner
+            row = jnp.concatenate(
+                [
+                    jnp.where(winner[:, None], slotkey, jnp.uint32(0)),
+                    add_u32,
+                    winner.astype(jnp.uint32)[:, None],
+                ],
+                axis=1,
+            )
             safe_upd = jnp.where(upd, pos, s + idx_arr)
-            safe_win = jnp.where(winner, pos, s + idx_arr)
-            digits = digits.at[safe_upd].add(
-                add_digits, mode="drop", unique_indices=True
-            )
-            keys = keys.at[safe_win].set(
-                slotkey, mode="drop", unique_indices=True
-            )
-            used = used.at[safe_win].set(
-                True, mode="drop", unique_indices=True
+            slots = slots.at[safe_upd].add(
+                row, mode="drop", unique_indices=True
             )
             n = n + jnp.sum(winner.astype(jnp.int32))
             hist = jax.lax.dynamic_update_index_in_dim(
                 hist, hist[r] + jnp.sum(upd.astype(jnp.int32)), r, axis=0
             )
-            return r + 1, unresolved & ~upd, keys, digits, used, n, hist
+            return r + 1, unresolved & ~upd, slots, n, hist
 
         return body
 
@@ -176,20 +233,16 @@ class QuotientTable:
             r, unresolved, *_ = carry
             return (r < self.max_reprobes) & jnp.any(unresolved)
 
-        r, unresolved, keys, digits, used, n, hist = jax.lax.while_loop(
+        r, unresolved, slots, n, hist = jax.lax.while_loop(
             cond, body,
-            (jnp.zeros((), jnp.int32), uvalid, state.keys, state.digits,
-             state.used, state.n, state.probe_hist),
+            (jnp.zeros((), jnp.int32), uvalid, state.slots, state.n,
+             state.probe_hist),
         )
         spilled = state.spilled + jnp.sum(unresolved.astype(jnp.int32))
-        return TableState(
-            keys=keys,
-            digits=renorm_digits(digits),
-            used=used,
-            n=n,
-            spilled=spilled,
-            probe_hist=hist,
+        out = TableState(
+            slots=slots, n=n, spilled=spilled, probe_hist=hist,
         )
+        return self._with_digits(out, renorm_digits(self.state_digits(out)))
 
     def insert_phase1(self, state: TableState, ukeys: jax.Array,
                       ucounts: jax.Array, uvalid: jax.Array,
@@ -217,14 +270,13 @@ class QuotientTable:
                 jnp.sum(unresolved.astype(jnp.int32)) > p_small
             )
 
-        r1, unresolved, keys, digits, used, n, hist = jax.lax.while_loop(
+        r1, unresolved, slots, n, hist = jax.lax.while_loop(
             cond, body,
-            (jnp.zeros((), jnp.int32), uvalid, state.keys, state.digits,
-             state.used, state.n, state.probe_hist),
+            (jnp.zeros((), jnp.int32), uvalid, state.slots, state.n,
+             state.probe_hist),
         )
         mid = TableState(
-            keys=keys, digits=digits, used=used, n=n,
-            spilled=state.spilled, probe_hist=hist,
+            slots=slots, n=n, spilled=state.spilled, probe_hist=hist,
         )
         return mid, r1, unresolved
 
@@ -267,22 +319,17 @@ class QuotientTable:
             r, unresolved, *_ = carry
             return (r < max_r) & jnp.any(unresolved)
 
-        _, unres_end, keys, digits, used, n, hist = jax.lax.while_loop(
+        _, unres_end, slots, n, hist = jax.lax.while_loop(
             cond, body,
-            (r1, unres_s, state.keys, state.digits,
-             state.used, state.n, state.probe_hist),
+            (r1, unres_s, state.slots, state.n, state.probe_hist),
         )
         spilled = state.spilled + lost + jnp.sum(
             unres_end.astype(jnp.int32)
         )
-        return TableState(
-            keys=keys,
-            digits=renorm_digits(digits),
-            used=used,
-            n=n,
-            spilled=spilled,
-            probe_hist=hist,
+        out = TableState(
+            slots=slots, n=n, spilled=spilled, probe_hist=hist,
         )
+        return self._with_digits(out, renorm_digits(self.state_digits(out)))
 
     def lookup(self, state: TableState, queries: jax.Array
                ) -> tuple[jax.Array, jax.Array]:
@@ -292,6 +339,7 @@ class QuotientTable:
         empty slot proves absence).  Returns (digits [N,3], found [N]).
         """
         n_q = queries.shape[0]
+        lanes = self.spec.lanes
         pos0, cleared = self._hash_parts(queries)
         s = self.slots
         # derive loop carries from pos0 so they inherit its varying-manual
@@ -306,9 +354,11 @@ class QuotientTable:
             r, active, out, found = carry
             pos = (pos0 + _triangular(r)) % s
             slotkey = cleared.at[:, 0].set(cleared[:, 0] | jnp.uint32(r))
-            used_g = state.used[pos]
-            match = active & used_g & keys_equal(state.keys[pos], slotkey)
-            out = jnp.where(match[:, None], state.digits[pos], out)
+            g = state.slots[pos]
+            used_g = g[:, -1] != 0
+            match = active & used_g & keys_equal(g[:, :lanes], slotkey)
+            digits_g = _bitcast_i32(g[:, lanes : lanes + COUNT_DIGITS])
+            out = jnp.where(match[:, None], digits_g, out)
             found = found | match
             active = active & used_g & ~match
             return r + 1, active, out, found
@@ -341,8 +391,11 @@ class QuotientTable:
             r, active, out_pos, out_r, found = carry
             pos = (pos0 + _triangular(r)) % s
             slotkey = cleared.at[:, 0].set(cleared[:, 0] | jnp.uint32(r))
-            used_g = state.used[pos]
-            match = active & used_g & keys_equal(state.keys[pos], slotkey)
+            g = state.slots[pos]
+            used_g = g[:, -1] != 0
+            match = active & used_g & keys_equal(
+                g[:, : self.spec.lanes], slotkey
+            )
             out_pos = jnp.where(match, pos, out_pos)
             out_r = jnp.where(match, r, out_r)
             found = found | match
@@ -369,14 +422,15 @@ class QuotientTable:
         Returns (kmers uint32 [slots, lanes], used bool [slots]).
         """
         i = jnp.arange(self.slots, dtype=jnp.int32)
-        key0 = state.keys[:, 0]
+        keys = self.state_keys(state)
+        key0 = keys[:, 0]
         r = (key0 & self._low_mask).astype(jnp.int32)
         missing = (i - _triangular(r)) % self.slots
-        hashed = state.keys.at[:, 0].set(
+        hashed = keys.at[:, 0].set(
             (key0 & ~self._low_mask) | missing.astype(jnp.uint32)
         )
         kmers = self.hash_fn.inv_apply(hashed)
-        return kmers, state.used
+        return kmers, self.state_used(state)
 
     # --- host export ---
 
@@ -387,7 +441,10 @@ class QuotientTable:
         )
         used = np.asarray(used)
         kmers = np.asarray(kmers)[used]
-        digits = np.asarray(jax.device_get(state.digits))[used]
+        lanes = self.spec.lanes
+        digits = np.asarray(jax.device_get(state.slots))[
+            used, lanes : lanes + COUNT_DIGITS
+        ].astype(np.int64)
         counts = np.array(
             [counts_to_int(*d) for d in digits], dtype=object
         ) if len(kmers) else np.zeros((0,), dtype=object)

@@ -1037,14 +1037,8 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
         spills = self._gather(self.state.spilled)
         for shard in range(self.n_shards):
             shard_state = TableState(
-                keys=jnp.asarray(
-                    self._shard_rows(self.state.keys, shard, slots)
-                ),
-                digits=jnp.asarray(
-                    self._shard_rows(self.state.digits, shard, slots)
-                ),
-                used=jnp.asarray(
-                    self._shard_rows(self.state.used, shard, slots)
+                slots=jnp.asarray(
+                    self._shard_rows(self.state.slots, shard, slots)
                 ),
                 n=jnp.asarray(ns[shard]),
                 spilled=jnp.asarray(spills[shard]),
