@@ -120,7 +120,10 @@ def main() -> int:
     # fits 1/8) + phase2 (compact + residue-width rounds), two dispatches
     def split_insert():
         mid, r1, unres = phase1j(st, ukeys_d, ucounts_d, uvalid_d)
-        return phase2j(mid, ukeys_d, ucounts_d, unres, r1)
+        # fence on the scalar: .ravel() of the [slots, cols] state inside
+        # the fence helper is itself a standalone reshape program — and
+        # tiles the array (the layout hazard, a third sighting)
+        return phase2j(mid, ukeys_d, ucounts_d, unres, r1).n
 
     timed("insert split-phase", split_insert)
 
@@ -142,25 +145,28 @@ def main() -> int:
 
     def scatter_round(slots_arr, posx):
         safe = jnp.where(uvalid_d, posx, table.slots + idx)
-        return slots_arr.at[safe].add(
+        res = slots_arr.at[safe].add(
             row_vals, mode="drop", unique_indices=True
         )
+        return res[0, 0]  # scalar: keep the fence off the big array
 
     timed("scatter round (1 array)", jax.jit(scatter_round), out.slots, pos)
 
     # gather round alone (combined-row read at probe positions)
     def gather_round(slots_arr, posx):
-        return slots_arr[posx]
+        return jnp.sum(slots_arr[posx][:, 0])
 
     timed("gather round", jax.jit(gather_round), out.slots, pos)
 
-    # insert with rows sliced to the unique prefix (half batch)
-    half = n // 2
-    insert_half = jax.jit(
-        lambda s: table.insert(s, ukeys_d[:half], ucounts_d[:half],
-                               uvalid_d[:half])
-    )
-    timed("insert (P/2 rows)", insert_half, st)
+    # insert with rows sliced to the unique prefix (half batch);
+    # single-program insert only below the layout-hazard size
+    if args.l <= 24:
+        half = n // 2
+        insert_half = jax.jit(
+            lambda s: table.insert(s, ukeys_d[:half], ucounts_d[:half],
+                                   uvalid_d[:half]).n
+        )
+        timed("insert (P/2 rows)", insert_half, st)
     return 0
 
 

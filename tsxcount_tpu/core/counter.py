@@ -459,13 +459,8 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
             self._dedupe_returns_taint = uniform
             self._dedupe = jax.jit(dedupe)
         else:
-            self._step = jax.jit(self._make_step(), donate_argnums=(0,))
-            self._step2 = jax.jit(
-                lambda st, k, c, u, r: self.table.insert_phase2(
-                    st, k, c, u, r
-                ),
-                donate_argnums=(0,),
-            )
+            self._step = jax.jit(self._make_step())
+            self._tphase_cache = {}
 
     def _adapt_read_len(self, read_lens) -> None:
         """One-shot auto-sizing of the interval budget from the first few
@@ -491,17 +486,29 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
     # --- jitted device steps ---
 
     def _make_step(self):
-        """Table-backend ingest, phase 1 of 2: dedupe + full-width reprobe
-        rounds until the unresolved residue fits 1/8 width.  Phase 2
-        (table.insert_phase2) is a SEPARATE jitted dispatch — fusing the
-        two round loops into one program makes XLA tile the [slots, 3]
-        digit array pathologically (32 GiB at l=26; see table.py)."""
+        """Table-backend ingest as THREE dispatches per batch:
+
+          1. dedupe (count_unique) — returns the compacted histogram and
+             n_unique;
+          2. host width choice: n_unique is fetched (ONE ~35 ms round
+             trip — negligible against the seconds-scale table path) and
+             the narrowest of {P/4, P/2, P} that holds every valid row is
+             picked.  The insert's claim sorts, gathers, and the dominant
+             per-row scatters then run at that width (the dedupe output
+             is a valid PREFIX, so the slice is exact) — round 0, which
+             tablebench measured as ~half the insert, typically halves;
+          3. insert_phase1 + insert_phase2 at the chosen width (lazily
+             jitted per width; slicing happens INSIDE the jit — an eager
+             device-slice would cost a tunnel dispatch per batch).
+
+        Phase 1 and phase 2 stay SEPARATE programs — fusing the two round
+        loops makes XLA tile the slot array pathologically (32 GiB at
+        l=26; see table.py)."""
         batch = self.batch
-        table = self.table
 
         canonical = self.canonical
 
-        def step1(state, buf):
+        def dedupe_t(buf):
             words = buf[: batch.total_words]
             if canonical:
                 kmers = canonicalize(extract_kmers(words, batch), batch.spec)
@@ -509,12 +516,42 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
                 kmers = extract_kmer_cols(words, batch)
             valid = intervals_to_valid(buf[batch.total_words :], batch)
             uc = count_unique(kmers, valid, spec=batch.spec)
-            mid, r1, unresolved = table.insert_phase1(
-                state, uc.keys, uc.counts, uc.valid
-            )
-            return mid, uc.keys, uc.counts, unresolved, r1
+            return uc.keys, uc.counts, uc.valid, uc.n_unique
 
-        return step1
+        return dedupe_t
+
+    def _table_phase_jits(self, width: int):
+        """(phase1, phase2) jits specialized to an insert width (cached)."""
+        table = self.table
+        jits = self._tphase_cache.get(width)
+        if jits is None:
+            ph1 = jax.jit(
+                lambda st, k, c, v: table.insert_phase1(
+                    st, k[:width], c[:width], v[:width]
+                ),
+                donate_argnums=(0,),
+            )
+            ph2 = jax.jit(
+                lambda st, k, c, u, r: table.insert_phase2(
+                    st, k[:width], c[:width], u, r
+                ),
+                donate_argnums=(0,),
+            )
+            jits = self._tphase_cache[width] = (ph1, ph2)
+        return jits
+
+    def _table_step(self, buf) -> None:
+        keys, counts, valid, nu = self._step(buf)
+        p = keys.shape[0]
+        n = int(jax.device_get(nu))
+        width = p
+        for w in (p // 4, p // 2):
+            if 256 <= w and n <= w:
+                width = w
+                break
+        ph1, ph2 = self._table_phase_jits(width)
+        mid, r1, unresolved = ph1(self.state, keys, counts, valid)
+        self.state = ph2(mid, keys, counts, unresolved, r1)
 
     def _flush_pending(self) -> None:
         """Fold pending batch histograms into the store (sort backend)."""
@@ -585,10 +622,7 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
                 if len(self._pending_uc) >= self.merge_every:
                     self._flush_pending()
             else:
-                mid, keys, counts, unresolved, r1 = self._step(
-                    self.state, buf
-                )
-                self.state = self._step2(mid, keys, counts, unresolved, r1)
+                self._table_step(buf)
             self.batches_processed += 1
             self._maybe_progress(stats_fn)
         self.elapsed += time.perf_counter() - t0
