@@ -141,14 +141,19 @@ def main() -> int:
                          "+ polyA")
     ap.add_argument("--merge-every", type=int, default=2,
                     help="batches folded per store merge (R)")
-    ap.add_argument("--passes", type=int, default=4,
+    ap.add_argument("--passes", type=int, default=6,
                     help="steady-state passes; the reported time is the "
                          "fastest (timeit-style, filters tunnel hiccups — "
-                         "single passes vary 0.29-0.34 s through the "
+                         "single passes vary 0.29-0.37 s through the "
                          "tunnel; each extra pass costs ~0.3 s)")
-    ap.add_argument("--shards", type=int, default=0,
-                    help="run the multi-chip ShardedKmerCounter over N "
-                         "devices (0 = single-chip KmerCounter)")
+    ap.add_argument("--shards", type=int, default=1,
+                    help="run the ShardedKmerCounter over N devices; "
+                         "0 = the plain single-chip KmerCounter.  Default "
+                         "1: on one chip the sharded pipeline measures "
+                         "FASTER than the plain counter (r4: 64.8M vs "
+                         "60.9M kmers/s at k=14 — no per-batch host "
+                         "round trips, and its merge grid tiles better) "
+                         "while counting the identical exact result")
     ap.add_argument("--lsm", action="store_true", default=None,
                     help="force the LSM store (default: auto-engage when "
                          "the cascade beats flat re-sorts)")
