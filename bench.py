@@ -159,7 +159,7 @@ def main() -> int:
                          "the cascade beats flat re-sorts)")
     ap.add_argument("--no-lsm", dest="lsm", action="store_false",
                     help="force the flat store")
-    # Default OFF for the benchmark (the counter/CLI default stays ON):
+    # Default OFF — bench, counter API, and CLI all agree since r4:
     # measured on one v5e + 2-vCPU host, the native splice pass costs
     # ~55 ms/pass while the H2D saving on the collapsed stream is ~41 ms —
     # a net loss at k=14 where the host+tunnel, not the device, bound the
@@ -250,7 +250,7 @@ def main() -> int:
         k=args.k, l=args.l, batch_words=args.batch_words,
         backend=counter.backend, merge_every=args.merge_every,
         lsm=bool(getattr(counter, "lsm", False)),
-        hash_first=bool(getattr(counter, "hash_first", False)),
+        hash_first=getattr(counter, "hash_first", False),
         mix_prefix=bool(getattr(counter, "mix_prefix", False)),
         n_shards=max(1, args.shards),
     )

@@ -77,3 +77,79 @@ def test_hash_first_canonical_and_collapse():
         c.finish()
     assert sum(counter.packer.stats.hp_bonus) > 0
     assert counter.to_dict() == ref.to_dict()
+
+
+def test_uniform_prefix_nk_covers_64_bits():
+    # ADVICE r4 high/medium: the comparator must always span >= 64
+    # uniform bits.  Narrow top lanes (k=113: 2 bits) previously got
+    # nk=2 = a 34-bit prefix that collides at production batch sizes.
+    from tsxcount_tpu.config import KmerSpec
+    from tsxcount_tpu.ops.count import uniform_prefix_nk
+
+    for k in (31, 33, 63, 65, 97, 113, 117, 121, 127, 224):
+        spec = KmerSpec(k)
+        nk = uniform_prefix_nk(spec)
+        key_bits_top = spec.top_lane_bits if spec.top_lane_bits < 32 else 0
+        assert key_bits_top + 32 * (nk - 1) >= 64, (k, nk)
+
+
+def test_narrow_top_lane_prefix_no_false_collision():
+    # k=113 -> 8 lanes, 2-bit top lane.  With the r4 nk=2 rule the sort
+    # prefix spanned only 34 bits: construct two DISTINCT keys whose mix
+    # images agree on the top 34+ bits but differ in lane 5 (outside the
+    # old comparator, inside the fixed one) -- previously flagged as a
+    # collision (double-ingest / PrefixCollision); now sorted exactly.
+    import jax.numpy as jnp
+
+    from tsxcount_tpu.config import KmerSpec
+    from tsxcount_tpu.ops.count import count_unique
+    from tsxcount_tpu.ops.mix import LaneMixBijection
+
+    spec = KmerSpec(113)
+    mix = LaneMixBijection(spec)
+    img = np.zeros((2, 8), np.uint32)
+    img[:, 7] = 1          # top lane equal (within 2-bit mask)
+    img[:, 6] = 0xDEADBEEF # next 32 bits equal
+    img[0, 5] = 1          # differs below the old 34-bit prefix
+    img[1, 5] = 2
+    img[:, 0] = 7
+    raw = mix.inv_apply_host(img)
+    assert not np.array_equal(raw[0], raw[1])
+    hashed = mix.apply(jnp.asarray(raw))
+    np.testing.assert_array_equal(np.asarray(hashed), img)
+    uc = count_unique(
+        hashed, jnp.ones((2,), bool), spec=spec,
+        uniform_prefix=True, collide_mode="flag",
+    )
+    assert not bool(uc.collided)
+    assert int(uc.n_unique) == 2
+
+
+def test_k113_hash_first_bulk_exact():
+    # statistical guard: ~64k random keys at k=113 through the mix-image
+    # uniform-prefix sort -- zero false collisions (>=66-bit prefix) and
+    # an exact histogram against a host dedupe
+    import jax.numpy as jnp
+
+    from tsxcount_tpu.config import KmerSpec
+    from tsxcount_tpu.ops.count import count_unique
+    from tsxcount_tpu.ops.mix import LaneMixBijection
+
+    spec = KmerSpec(113)
+    mix = LaneMixBijection(spec)
+    rng = np.random.default_rng(11)
+    n = 1 << 16
+    raw = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    raw[:, 7] &= spec.top_lane_mask
+    raw[n // 2:] = raw[: n // 2]  # force duplicates
+    hashed = mix.apply(jnp.asarray(raw))
+    uc = count_unique(
+        hashed, jnp.ones((n,), bool), spec=spec,
+        uniform_prefix=True, collide_mode="flag",
+    )
+    assert not bool(uc.collided)
+    nu = int(uc.n_unique)
+    want = np.unique(raw, axis=0)
+    assert nu == len(want)
+    counts = np.asarray(uc.counts[:nu])
+    assert counts.sum() == n and (counts == 2).all()

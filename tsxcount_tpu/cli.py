@@ -52,7 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--dump", default=None,
                    help="write full counts as kmer\\tcount TSV")
     c.add_argument("--shards", type=int, default=1,
-                   help="table shards across devices (multi-chip)")
+                   help="table shards across devices (multi-chip).  "
+                        "Default 1 runs the sharded pipeline on ONE "
+                        "device — measured FASTER than the plain counter "
+                        "on one chip (r4: 71.5M vs ~61M kmers/s at k=14, "
+                        "identical exact results; bench.py's default "
+                        "since r4).  0 = the plain single-chip counter "
+                        "(where --hash-first/--mix-prefix apply)")
     c.add_argument("--batch-words", type=int, default=1 << 20,
                    help="uint32 words per device batch (16 bases/word); "
                         "keep a multiple of 4096 — off the 2^16-position "
@@ -100,6 +106,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sharded routing bijection: 'mix' (ARX lane mix, "
                         "r4 default) or 'gf2' (the r3 MXU matmul; what "
                         "pre-r4 sharded checkpoints used)")
+    c.add_argument("--hash-first", choices=("auto", "mix", "gf2", "off"),
+                   default="auto",
+                   help="plain-counter (--shards 0) sort backend: apply a "
+                        "bijective hash BEFORE dedupe and sort a >=64-bit "
+                        "uniform prefix with the other lanes as payload.  "
+                        "'mix' = ARX lane-mix (wins at >= 8 key lanes, "
+                        "auto-on for k >= 113), 'gf2' = the MXU GF(2) "
+                        "matmul (measured net loss single-chip), 'off' "
+                        "forces the full-comparator sort, 'auto' (default) "
+                        "applies the measured rule")
     c.add_argument("--mix-prefix", action="store_true", default=None,
                    help="single-chip sort backend: dedupe-sort on a cheap "
                         "VPU mixing-hash prefix over extended keys "
@@ -168,17 +184,31 @@ def cmd_count(args: argparse.Namespace) -> int:
             # explicit flag overrides the checkpoint's collapse setting
             counter.collapse_hp = args.hp_collapse
             counter.packer.collapse = args.hp_collapse and counter.spec.k >= 2
-    elif args.shards > 1:
+    elif args.shards >= 1:
+        # the sharded pipeline even at --shards 1: measured faster than
+        # the plain counter on one chip (bench.py default since r4) with
+        # identical exact results (VERDICT r4 #4)
         from tsxcount_tpu.parallel.sharded import ShardedKmerCounter
 
+        if args.hash_first != "auto":
+            print("warning: --hash-first is ignored with --shards >= 1 "
+                  "(the sharded stream hashes for routing; use --shards 0 "
+                  "for the plain counter)", file=sys.stderr)
+        if args.mix_prefix is not None:
+            print("warning: --mix-prefix is ignored with --shards >= 1 "
+                  "(use --shards 0 for the plain counter)", file=sys.stderr)
         counter = ShardedKmerCounter(
             n_shards=args.shards,
             collapse_homopolymers=hp_collapse,
             routing_hash=args.routing_hash, **kwargs,
         )
     else:
+        hash_first = {"auto": None, "off": False}.get(
+            args.hash_first, args.hash_first
+        )
         counter = KmerCounter(collapse_homopolymers=hp_collapse,
-                              mix_prefix=args.mix_prefix, **kwargs)
+                              mix_prefix=args.mix_prefix,
+                              hash_first=hash_first, **kwargs)
 
     # config echo, like the reference startup dump (main.cpp:420-427)
     print(f"k={args.k} l={args.l} s={args.s} mode={args.mode} "
@@ -194,7 +224,7 @@ def cmd_count(args: argparse.Namespace) -> int:
         backend=counter.backend,
         merge_every=getattr(counter, "merge_every", 1),
         lsm=bool(getattr(counter, "lsm", False)),
-        hash_first=bool(getattr(counter, "hash_first", False)),
+        hash_first=getattr(counter, "hash_first", False),
         mix_prefix=bool(getattr(counter, "mix_prefix", False)),
         n_shards=max(1, args.shards),
     ))

@@ -126,6 +126,24 @@ def compact_rows(flag: jax.Array, columns: Sequence[jax.Array]
     return out[0], list(out[1:])
 
 
+def uniform_prefix_nk(spec: KmerSpec) -> int:
+    """Comparator operands covering >= 64 uniform hash bits.
+
+    The msb operand contributes spec.top_lane_bits of key (the invalid
+    flag shares it) when the top lane is narrow, or zero key bits (a
+    standalone flag column) when the top lane is full; every further
+    operand adds 32.  r4 shipped nk=2 for narrow top lanes, capping the
+    prefix at top_lane_bits+32 bits — at k=113 (2-bit top lane) that is
+    34 bits and 9.6M-row batches collide essentially always (ADVICE r4
+    high).  Covering >= 64 bits makes the within-batch collision
+    probability ~P^2/2^65 at every k; sortbench (r4) shows comparator
+    WIDTH is cheap next to column movement, so the extra key lane costs
+    little.
+    """
+    key_bits_in_top = spec.top_lane_bits if spec.top_lane_bits < 32 else 0
+    return 1 + -(-max(1, 64 - key_bits_in_top) // 32)
+
+
 def _pallas_compactable(p: int) -> bool:
     from tsxcount_tpu.ops.pallas_compact import DEFAULT_TILE
 
@@ -157,9 +175,7 @@ def _sort_uniform_prefix(ops: tuple, spec: KmerSpec,
         retries the ingest with the full sort if it ever fires
         (detect + host-side retry, VERDICT r3 #2).
     """
-    # 64 uniform hash bits must be comparator keys: 2 lanes when the flag
-    # shares the top lane, flag column + 2 lanes otherwise
-    nk = 2 if spec.top_lane_bits < 32 else 3
+    nk = uniform_prefix_nk(spec)
     if len(ops) <= nk:
         out = jax.lax.sort(ops, num_keys=len(ops))
         return out, (jnp.zeros((), jnp.bool_)

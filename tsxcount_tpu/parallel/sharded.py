@@ -872,7 +872,9 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
         except PrefixCollision:
             if not fresh or jax.process_count() > 1:
                 # multi-host retry would need every process to agree to
-                # recount; surface instead (probability ~2^-40 per batch)
+                # recount; surface instead (probability ~P^2/2^65 per
+                # batch — about 1 in 4e5 batches at the default size,
+                # matching core/counter.py PrefixCollision)
                 raise
             import sys
 

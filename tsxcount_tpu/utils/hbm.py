@@ -58,7 +58,7 @@ def estimate_hbm(
     backend: str = "sort",
     merge_every: int = 2,
     lsm: bool = False,
-    hash_first: bool = False,
+    hash_first: bool | str = False,
     mix_prefix: bool = False,
     collide_mode: str = "flag",
     n_shards: int = 1,
@@ -91,8 +91,12 @@ def estimate_hbm(
             # the compiled full-sort fallback branch coexists with the
             # prefix-sorted result: peak DOUBLES (the r3 k=127 l=25 OOM)
             dedupe *= 2.0
-        if hash_first:
-            # bit-unpacked int8 matmul operands: P x 2k in and out
+        if hash_first == "gf2" or hash_first is True:
+            # bit-unpacked int8 matmul operands: P x 2k in and out.
+            # Only the GF(2) variant pays this; the ARX "mix" bijection
+            # (hash_first="mix", the k>=113 auto default) is elementwise
+            # VPU work with no unpacked operands (ADVICE r4 low).  A bare
+            # True is treated as gf2 — conservative for unknown callers.
             dedupe += positions * (2 * k) * 2
         # pending batch histograms awaiting the deferred merge
         pend_rows = merge_every * positions * max(1, n_shards)
