@@ -151,6 +151,15 @@ def cmd_count(args: argparse.Namespace) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    # persistent compilation cache (same as bench.py): repeat CLI runs
+    # skip the multi-minute remote compile through the tunnel
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     # deferred imports keep --help snappy and let tests patch the backend
     from tsxcount_tpu.core.counter import CheckAbort, KmerCounter, TableFull
     from tsxcount_tpu.ops.gf2 import DEFAULT_SEED
