@@ -201,3 +201,88 @@ def test_residue_overflow_spills_exactly():
     spilled = int(jax.device_get(state.spilled))
     assert resolved + spilled == n_k  # nothing lost, nothing double-counted
     assert spilled > 0
+
+
+def _rand_batch(rng, n, n_u, spec):
+    import numpy as np
+
+    ukeys = np.zeros((n, spec.lanes), np.uint32)
+    uniq = rng.choice(2**min(28, 2 * spec.k), size=n_u, replace=False)
+    for j in range(spec.lanes):
+        ukeys[:n_u, j] = (uniq >> (32 * j)) & 0xFFFFFFFF
+    ukeys[:n_u, -1] &= np.uint32(spec.top_lane_mask)
+    ucounts = rng.integers(1, 9, size=n, dtype=np.int32)
+    uvalid = np.arange(n) < n_u
+    return ukeys, ucounts, uvalid
+
+
+def test_sorted_rounds_kernel_matches_legacy():
+    # full insert via the Pallas apply kernel (interpret on CPU) against
+    # the legacy original-order rounds: same counts, same n, same spill
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tsxcount_tpu.config import KmerSpec
+    from tsxcount_tpu.ops.gf2 import GF2Hash
+
+    spec = KmerSpec(14)
+    rng = np.random.default_rng(3)
+    table = QuotientTable(spec, 10, GF2Hash(spec))
+    assert table.sorted_rounds
+    n, n_u = 2048, 700
+    ukeys, ucounts, uvalid = _rand_batch(rng, n, n_u, spec)
+    st_k = table.insert(
+        table.init_state(), jnp.asarray(ukeys), jnp.asarray(ucounts),
+        jnp.asarray(uvalid), apply_mode="kernel",
+    )
+    st_s = table.insert(
+        table.init_state(), jnp.asarray(ukeys), jnp.asarray(ucounts),
+        jnp.asarray(uvalid), apply_mode="scatter",
+    )
+    st_l = table._insert_legacy(
+        table.init_state(), jnp.asarray(ukeys), jnp.asarray(ucounts),
+        jnp.asarray(uvalid),
+    )
+    for st in (st_k, st_s):
+        assert int(st.n) == n_u == int(st_l.n)
+        assert int(st.spilled) == 0
+        qk, qc, qn = table.to_host(st)
+        lk, lc, ln = table.to_host(st_l)
+        assert qn == ln
+        order_q = np.lexsort(qk.T)
+        order_l = np.lexsort(lk.T)
+        np.testing.assert_array_equal(qk[order_q], lk[order_l])
+        assert list(qc[order_q]) == list(lc[order_l])
+
+
+def test_sorted_phase_split_matches_single_program():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tsxcount_tpu.config import KmerSpec
+    from tsxcount_tpu.ops.gf2 import GF2Hash
+
+    spec = KmerSpec(14)
+    rng = np.random.default_rng(7)
+    table = QuotientTable(spec, 9, GF2Hash(spec))
+    n, n_u = 1024, 400
+    ukeys, ucounts, uvalid = _rand_batch(rng, n, n_u, spec)
+    k, c, v = (jnp.asarray(ukeys), jnp.asarray(ucounts),
+               jnp.asarray(uvalid))
+    whole = table.insert(table.init_state(), k, c, v)
+    mid, r1, carry, front = table.insert_phase1_sorted(
+        table.init_state(), k, c, v, residue_limit=128,
+    )
+    f = int(jax.device_get(front))
+    w2 = max(256, 1 << (max(1, f) - 1).bit_length())
+    split = table.insert_phase2_sorted(mid, carry, r1, min(n, w2))
+    assert int(split.n) == int(whole.n) == n_u
+    a = table.to_host(split)
+    b = table.to_host(whole)
+    assert a[2] == b[2]
+    import numpy as np
+
+    np.testing.assert_array_equal(
+        a[0][np.lexsort(a[0].T)], b[0][np.lexsort(b[0].T)]
+    )

@@ -467,6 +467,7 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         else:
             self._step = jax.jit(self._make_step())
             self._tphase_cache = {}
+            self._tph2_cache = {}
 
     def _adapt_read_len(self, read_lens) -> None:
         """One-shot auto-sizing of the interval budget from the first few
@@ -531,20 +532,48 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         table = self.table
         jits = self._tphase_cache.get(width)
         if jits is None:
-            ph1 = jax.jit(
-                lambda st, k, c, v: table.insert_phase1(
-                    st, k[:width], c[:width], v[:width]
-                ),
-                donate_argnums=(0,),
-            )
-            ph2 = jax.jit(
-                lambda st, k, c, u, r: table.insert_phase2(
-                    st, k[:width], c[:width], u, r
-                ),
-                donate_argnums=(0,),
-            )
+            if table.sorted_rounds:
+                limit = max(256, width // 8)
+                ph1 = jax.jit(
+                    lambda st, k, c, v: table.insert_phase1_sorted(
+                        st, k[:width], c[:width], v[:width], limit
+                    ),
+                    donate_argnums=(0,),
+                )
+                ph2 = None  # per-residue-width, see _table_phase2_jit
+            else:
+                ph1 = jax.jit(
+                    lambda st, k, c, v: table.insert_phase1(
+                        st, k[:width], c[:width], v[:width]
+                    ),
+                    donate_argnums=(0,),
+                )
+                ph2 = jax.jit(
+                    lambda st, k, c, u, r: table.insert_phase2(
+                        st, k[:width], c[:width], u, r
+                    ),
+                    donate_argnums=(0,),
+                )
             jits = self._tphase_cache[width] = (ph1, ph2)
         return jits
+
+    def _table_phase2_jit(self, width2: int):
+        """Sorted-round phase2 jit at a host-chosen residue width.
+
+        The residue width was a static 1/8 of the batch before r5; with
+        phase1 reporting the actual active front (typically a few
+        percent), the host picks the smallest pow2 bucket that holds it —
+        the residue rounds' sort+scatter then run ~8-40x narrower."""
+        jit = self._tph2_cache.get(width2)
+        if jit is None:
+            table = self.table
+            jit = self._tph2_cache[width2] = jax.jit(
+                lambda st, carry, r1: table.insert_phase2_sorted(
+                    st, carry, r1, width2
+                ),
+                donate_argnums=(0,),
+            )
+        return jit
 
     def _table_step(self, buf) -> None:
         keys, counts, valid, nu = self._step(buf)
@@ -556,8 +585,14 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
                 width = w
                 break
         ph1, ph2 = self._table_phase_jits(width)
-        mid, r1, unresolved = ph1(self.state, keys, counts, valid)
-        self.state = ph2(mid, keys, counts, unresolved, r1)
+        if self.table.sorted_rounds:
+            mid, r1, carry, front = ph1(self.state, keys, counts, valid)
+            f = int(jax.device_get(front))
+            w2 = min(width, max(256, 1 << (max(1, f) - 1).bit_length()))
+            self.state = self._table_phase2_jit(w2)(mid, carry, r1)
+        else:
+            mid, r1, unresolved = ph1(self.state, keys, counts, valid)
+            self.state = ph2(mid, keys, counts, unresolved, r1)
 
     def _flush_pending(self) -> None:
         """Fold pending batch histograms into the store (sort backend)."""

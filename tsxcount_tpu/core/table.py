@@ -92,6 +92,16 @@ class QuotientTable:
         # reference max = 2^L - 1 (TSXHashMap.h:86); we bound the while loop
         self.max_reprobes = min(max_reprobes, self.slots - 1)
         self._low_mask = jnp.uint32((1 << l_bits) - 1)
+        # sorted-apply rounds (r5, VERDICT r4 #2): rows ride each round in
+        # slot-sorted order, so the slot update is sorted+unique and can
+        # run as a linear Pallas sweep (ops/pallas_apply.py) instead of a
+        # per-row XLA scatter, and winner arbitration needs no bool
+        # scatter back to original order.  Needs pos*cols*2 to fit int32
+        # (flat doubled element destinations) and pos|flag packing in 30
+        # bits; larger tables keep the legacy rounds.
+        self.sorted_rounds = (
+            2 * self.slots * self.slot_cols < 2**31 and l_bits < 30
+        )
 
     @property
     def slot_cols(self) -> int:
@@ -210,21 +220,188 @@ class QuotientTable:
 
         return body
 
+    # --- sorted-apply rounds (r5) -------------------------------------------
+
+    def _round_sorted_body(self, apply_mode: str):
+        """One batched reprobe round over SORTED-DOMAIN carry arrays.
+
+        carry = (r, slots, n, spilled, hist, pos0, cleared, counts,
+        active): the row arrays are permuted by each round's slot sort —
+        winner arbitration, the slot update, and the unresolved set all
+        live in sorted order, so no scatter ever maps anything back to
+        original order (the legacy _round_body pays a bool scatter for
+        the winner mask and a per-row combined scatter for the update).
+
+        Sort key: (pos << 2) | match << 1 | contender, stable — runs
+        group by probed slot; blocked rows sort before the match row, and
+        the round's claim winner is the LAST contender of its run (an
+        arbitrary-but-deterministic choice, like the reference's "whoever
+        wins the transaction", TSXHashMapCAS.h:268-508), so every run's
+        single LIVE row is its last element and the flat doubled update
+        destinations stay globally non-decreasing for the apply kernel.
+
+        apply_mode: "kernel" = Pallas linear sweep (ops/pallas_apply.py;
+        big widths on TPU), "scatter" = per-row XLA scatter from the
+        sorted domain (small widths, CPU, shard_map).
+        """
+        s = self.slots
+        lanes = self.spec.lanes
+        cols = self.slot_cols
+        total = s * cols
+        inactive = jnp.uint32(0xFFFFFFFF)
+
+        def body(carry):
+            (r, slots, n, spilled, hist, pos0, cleared, counts,
+             active) = carry
+            width = pos0.shape[0]
+            pos = (pos0 + _triangular(r)) % s
+            ru = r.astype(jnp.uint32)
+            slotkey0 = cleared[:, 0] | ru
+            g = slots[pos]
+            used_g = g[:, -1] != 0
+            key_eq = g[:, 0] == slotkey0
+            for j in range(1, lanes):
+                key_eq = key_eq & (g[:, j] == cleared[:, j])
+            match = active & used_g & key_eq
+            contend = active & ~used_g
+            ckey = jnp.where(
+                active,
+                (pos.astype(jnp.uint32) << 2)
+                | (match.astype(jnp.uint32) << 1)
+                | contend.astype(jnp.uint32),
+                inactive,
+            )
+            posm = pos0 | (match.astype(jnp.int32) << 30)
+            ops = (ckey, posm, counts) + tuple(
+                cleared[:, j] for j in range(lanes)
+            )
+            sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+            ckey_s, posm_s, counts_s = sorted_ops[:3]
+            cleared_s = jnp.stack(sorted_ops[3:], axis=1)
+            active_s = ckey_s != inactive
+            match_s = ((posm_s >> 30) & 1) == 1
+            pos0_s = posm_s & ((1 << 30) - 1)
+            # the inactive sentinel 0xFFFFFFFF has both flag bits set —
+            # every flag derived from ckey_s must be gated on active_s
+            contend_s = active_s & ((ckey_s & 1) == 1)
+            pos_s = (ckey_s >> 2).astype(jnp.int32)
+            run_end = jnp.concatenate([
+                (ckey_s[1:] >> 2) != (ckey_s[:-1] >> 2),
+                jnp.ones((1,), jnp.bool_),
+            ])
+            winner = contend_s & run_end
+            resolved = match_s | winner
+            slotkey_s = cleared_s.at[:, 0].set(cleared_s[:, 0] | ru)
+            digits_s = int32_to_digits(counts_s)
+            row = jnp.concatenate([
+                jnp.where(winner[:, None], slotkey_s, jnp.uint32(0)),
+                _bitcast_u32(digits_s),
+                winner.astype(jnp.uint32)[:, None],
+            ], axis=1)
+            if apply_mode == "scatter":
+                safe = jnp.where(
+                    resolved, pos_s,
+                    s + jnp.arange(width, dtype=jnp.int32),
+                )
+                slots = slots.at[safe].add(
+                    row, mode="drop", unique_indices=True
+                )
+            else:
+                from tsxcount_tpu.ops.pallas_apply import (
+                    apply_sorted_unique,
+                )
+
+                base = pos_s * cols
+                ec = jnp.arange(cols, dtype=jnp.int32)
+                dst2 = jnp.where(
+                    active_s[:, None],
+                    ((base[:, None] + ec[None, :]) << 1)
+                    | resolved[:, None].astype(jnp.int32),
+                    jnp.int32(1 << 30),
+                ).reshape(width * cols)
+                vals = row.reshape(width * cols)
+                t_tiles = max(1, total // min(total, 1 << 17))
+                mean = (width * cols) // t_tiles
+                u_win = max(
+                    1024, -(-(4 * mean + 2048) // 1024) * 1024
+                )
+                flat, overflow = apply_sorted_unique(
+                    slots.reshape(total), dst2, vals, u_win=u_win,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                slots = flat.reshape(s, cols)
+                spilled = spilled + overflow
+            n = n + jnp.sum(winner.astype(jnp.int32))
+            hist = jax.lax.dynamic_update_index_in_dim(
+                hist, hist[r] + jnp.sum(resolved.astype(jnp.int32)),
+                r, axis=0,
+            )
+            return (r + 1, slots, n, spilled, hist, pos0_s, cleared_s,
+                    counts_s, active_s & ~resolved)
+
+        return body
+
+    def _auto_apply_mode(self, width: int) -> str:
+        """kernel sweep when a round's width justifies a full-table pass:
+        the XLA row scatter costs ~80 ns/row (tablebench r5: 765 ms at
+        9.6M rows) while the Pallas sweep costs a roughly width-
+        independent table pass (~100 ms at l=26)."""
+        total = self.slots * self.slot_cols
+        if (
+            jax.default_backend() == "tpu"
+            and self.sorted_rounds
+            and total % 1024 == 0
+            and width >= (1 << 21)
+        ):
+            return "kernel"
+        return "scatter"
+
     def insert(self, state: TableState, ukeys: jax.Array, ucounts: jax.Array,
-               uvalid: jax.Array) -> TableState:
+               uvalid: jax.Array, apply_mode: str | None = None
+               ) -> TableState:
         """Insert a deduplicated batch histogram (keys unique where uvalid).
 
         Single-program round loop (the sharded per-shard path and generic
-        callers).  The single-chip counter uses the two-dispatch
-        insert_phase1/insert_phase2 pair instead — same semantics, but the
-        residue rounds run at 1/8 width (VERDICT r3 #7).  The two-level
-        schedule must NOT live inside one program: a while_loop -> sort ->
-        while_loop chain makes XLA materialize the [slots, 3] digit array
-        in a (8,128)-tiled layout (minor dim padded 3 -> 128 = 32 GiB at
-        l=26, a compile-time OOM observed on the v5e); a dispatch boundary
-        between the phases keeps the r3-proven layouts.
+        callers) over the sorted-apply rounds (_round_sorted_body); tables
+        too large for the int32 flat-destination packing fall back to the
+        legacy original-order rounds.  The single-chip counter uses the
+        two-dispatch insert_phase1/insert_phase2 pair instead — same
+        semantics, but the residue rounds run at a host-chosen narrow
+        width.  The two-level schedule must NOT live inside one program:
+        a while_loop -> sort -> while_loop chain makes XLA materialize
+        the [slots, 3] digit array in a (8,128)-tiled layout (minor dim
+        padded 3 -> 128 = 32 GiB at l=26, a compile-time OOM observed on
+        the v5e); a dispatch boundary between the phases keeps the
+        r3-proven layouts.
         """
+        if not self.sorted_rounds:
+            return self._insert_legacy(state, ukeys, ucounts, uvalid)
         p = ukeys.shape[0]
+        mode = apply_mode or self._auto_apply_mode(p)
+        pos0, cleared = self._hash_parts(ukeys)
+        body = self._round_sorted_body(mode)
+
+        def cond(carry):
+            r, _, _, _, _, _, _, _, active = carry
+            return (r < self.max_reprobes) & jnp.any(active)
+
+        (_, slots, n, spilled, hist, _, _, _, active) = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), state.slots, state.n,
+             state.spilled, state.probe_hist, pos0, cleared,
+             ucounts.astype(jnp.int32), uvalid),
+        )
+        spilled = spilled + jnp.sum(active.astype(jnp.int32))
+        out = TableState(
+            slots=slots, n=n, spilled=spilled, probe_hist=hist,
+        )
+        return self._with_digits(out, renorm_digits(self.state_digits(out)))
+
+    def _insert_legacy(self, state: TableState, ukeys: jax.Array,
+                       ucounts: jax.Array, uvalid: jax.Array) -> TableState:
+        """Original-order rounds (winner bool scatter + combined-row
+        scatter) — kept for tables beyond the sorted-round packing range
+        and for A/B measurement."""
         pos0, cleared = self._hash_parts(ukeys)
         add_digits = int32_to_digits(ucounts.astype(jnp.int32))
         body = self._round_body(pos0, cleared, add_digits)
@@ -239,6 +416,89 @@ class QuotientTable:
              state.probe_hist),
         )
         spilled = state.spilled + jnp.sum(unresolved.astype(jnp.int32))
+        out = TableState(
+            slots=slots, n=n, spilled=spilled, probe_hist=hist,
+        )
+        return self._with_digits(out, renorm_digits(self.state_digits(out)))
+
+    def insert_phase1_sorted(self, state: TableState, ukeys: jax.Array,
+                             ucounts: jax.Array, uvalid: jax.Array,
+                             residue_limit: int,
+                             apply_mode: str | None = None):
+        """Sorted-apply rounds until the active front fits residue_limit.
+
+        Runs full-width rounds while the number of rows ENTERING a round
+        exceeds residue_limit, plus exactly one more round (whose sort
+        pushes earlier-resolved rows to the tail), so on return the
+        active rows all sit within the first `front` positions of the
+        permuted carry.  Returns (mid_state, r1, carry, front) where
+        carry = (pos0, cleared, counts, active) in sorted order and
+        front (int32 scalar, <= residue_limit unless round 0 never ran)
+        bounds the prefix insert_phase2_sorted must keep.  uvalid must be
+        a prefix (dedupe output is).  Digits NOT yet renormalized —
+        phase2 must always follow.
+        """
+        p = ukeys.shape[0]
+        mode = apply_mode or self._auto_apply_mode(p)
+        pos0, cleared = self._hash_parts(ukeys)
+        body = self._round_sorted_body(mode)
+        limit = jnp.int32(residue_limit)
+
+        def body_f(carry_f):
+            inner, _ = carry_f
+            front = jnp.sum(inner[8].astype(jnp.int32))
+            return body(inner), front
+
+        def cond(carry_f):
+            inner, front = carry_f
+            r = inner[0]
+            active = inner[8]
+            return (
+                (r < self.max_reprobes)
+                & jnp.any(active)
+                & (front > limit)
+            )
+
+        carry0 = (
+            (jnp.zeros((), jnp.int32), state.slots, state.n,
+             state.spilled, state.probe_hist, pos0, cleared,
+             ucounts.astype(jnp.int32), uvalid),
+            jnp.sum(uvalid.astype(jnp.int32)),
+        )
+        (inner, front) = jax.lax.while_loop(cond, body_f, carry0)
+        (r1, slots, n, spilled, hist, pos0_s, cleared_s, counts_s,
+         active_s) = inner
+        mid = TableState(
+            slots=slots, n=n, spilled=spilled, probe_hist=hist,
+        )
+        return mid, r1, (pos0_s, cleared_s, counts_s, active_s), front
+
+    def insert_phase2_sorted(self, state: TableState, carry, r1,
+                             width2: int,
+                             apply_mode: str = "scatter") -> TableState:
+        """Finish an insert from insert_phase1_sorted's carry at a narrow
+        static width2 (host-chosen >= the returned front; a pow2 bucket
+        keeps the compile count bounded).  Rows active beyond the slice
+        would be lost — counted spilled, exactly like the legacy residue
+        overflow (impossible when width2 >= front)."""
+        pos0, cleared, counts, active = carry
+        lost = (
+            jnp.sum(active.astype(jnp.int32))
+            - jnp.sum(active[:width2].astype(jnp.int32))
+        )
+        body = self._round_sorted_body(apply_mode)
+
+        def cond(carry2):
+            r, _, _, _, _, _, _, _, act = carry2
+            return (r < self.max_reprobes) & jnp.any(act)
+
+        (_, slots, n, spilled, hist, _, _, _, act) = jax.lax.while_loop(
+            cond, body,
+            (r1, state.slots, state.n, state.spilled + lost,
+             state.probe_hist, pos0[:width2], cleared[:width2],
+             counts[:width2], active[:width2]),
+        )
+        spilled = spilled + jnp.sum(act.astype(jnp.int32))
         out = TableState(
             slots=slots, n=n, spilled=spilled, probe_hist=hist,
         )
