@@ -135,26 +135,23 @@ def main() -> int:
     timed("claims sort (2 ops)",
           jax.jit(lambda c, i: jax.lax.sort((c, i), num_keys=2)), ckey, idx)
 
-    # one combined-row scatter round alone (the r4 layout: one scatter of
-    # [key lanes | digits | used] replaces the r3 three-array scatters
-    # measured at 901 ms)
+    # one combined-row scatter round alone (r5: flat slice-scatter — the
+    # r4 [slots, C] row scatter; r3 three-array scatters were 901 ms)
     cols = table.slot_cols
     row_vals = jnp.asarray(
         rng.integers(0, 3, size=(n, cols), dtype=np.uint32)
     )
 
-    def scatter_round(slots_arr, posx):
+    def scatter_round(slots_flat, posx):
         safe = jnp.where(uvalid_d, posx, table.slots + idx)
-        res = slots_arr.at[safe].add(
-            row_vals, mode="drop", unique_indices=True
-        )
-        return res[0, 0]  # scalar: keep the fence off the big array
+        res = table._scatter_add_rows(slots_flat, safe, row_vals)
+        return res[0]  # scalar: keep the fence off the big array
 
-    timed("scatter round (1 array)", jax.jit(scatter_round), out.slots, pos)
+    timed("scatter round (flat)", jax.jit(scatter_round), out.slots, pos)
 
     # gather round alone (combined-row read at probe positions)
-    def gather_round(slots_arr, posx):
-        return jnp.sum(slots_arr[posx][:, 0])
+    def gather_round(slots_flat, posx):
+        return jnp.sum(table._gather_rows(slots_flat, posx)[:, 0])
 
     timed("gather round", jax.jit(gather_round), out.slots, pos)
 

@@ -34,27 +34,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tsxcount_tpu.config import COUNT_DIGITS, KmerSpec, counts_to_int
-from tsxcount_tpu.ops.count import int32_to_digits, renorm_digits
+from tsxcount_tpu.config import (
+    COUNT_DIGIT_BITS,
+    COUNT_DIGIT_MASK,
+    COUNT_DIGITS,
+    KmerSpec,
+    counts_to_int,
+)
+from tsxcount_tpu.ops.count import int32_to_digits
 from tsxcount_tpu.ops.gf2 import GF2Hash
 from tsxcount_tpu.ops.lanes import keys_equal
 
 
 class TableState(NamedTuple):
-    # ONE combined slot array (r4): columns [key lanes | 3 count digits
-    # (int32 bitcast into uint32 lanes) | used flag].  The r3 layout kept
-    # keys/digits/used as three arrays, which cost THREE gathers + THREE
-    # scatters per reprobe round; tablebench measured the scatters at
-    # 901 ms of a 1.1 s round (80%), and XLA TPU scatter cost is
-    # per-row, so fusing the row into one array cuts the dominant term
-    # (bench: 3.36M -> 4.04M kmers/s).  Semantics unchanged: key =
-    # (func << L) | reprobe (TSXHashMap.h makeKey analog), used is the
-    # m_iKmerStarts analog.  Layout hazard note: [slots, few]-shaped
-    # arrays must never be compiled through STANDALONE tiny jits — XLA
-    # may pick a (8,128)-tiled layout (minor dim padded to 128 = 25x
-    # inflation, 32 GiB at l=26).  The production programs (dedupe+phase1,
-    # phase2) keep it linear; see tools/tablebench.py.
-    slots: jax.Array   # uint32 [slots, lanes + COUNT_DIGITS + 1]
+    # ONE combined slot array (r4), stored FLAT (r5): row i's columns
+    # [key lanes | 3 count digits (int32 bitcast into uint32 lanes) |
+    # used flag] occupy elements [i*C, (i+1)*C).  The r3 layout kept
+    # keys/digits/used as three arrays (three gathers + three scatters
+    # per reprobe round, 901 ms of a 1.1 s round); r4 fused the row into
+    # one [slots, C] array; r5 flattened it after a FOURTH sighting of
+    # the (8,128)-layout trap — XLA gave the [2^26, 5] array a tiled
+    # layout with the minor dim padded 5 -> 128 inside the new sorted-
+    # round program (a 32 GiB copy, compile-time OOM).  A 1-D array has
+    # no minor dim to pad: the hazard is gone BY CONSTRUCTION.  Rounds
+    # gather/scatter rows as C-element slices (lax.gather/scatter_add
+    # with slice_sizes=(C,)); the Pallas apply kernel consumes the flat
+    # array directly.  Semantics unchanged: key = (func << L) | reprobe
+    # (TSXHashMap.h makeKey analog), used is the m_iKmerStarts analog.
+    slots: jax.Array   # uint32 [slots * (lanes + COUNT_DIGITS + 1)]
     n: jax.Array       # int32 scalar: distinct kmers
     spilled: jax.Array # int32 scalar: kmers dropped after max reprobes
     probe_hist: jax.Array  # int32 [max_reprobes]: kmers resolved at round r
@@ -110,35 +117,102 @@ class QuotientTable:
 
     def init_state(self) -> TableState:
         return TableState(
-            slots=jnp.zeros((self.slots, self.slot_cols), jnp.uint32),
+            slots=jnp.zeros((self.slots * self.slot_cols,), jnp.uint32),
             n=jnp.zeros((), jnp.int32),
             spilled=jnp.zeros((), jnp.int32),
             probe_hist=jnp.zeros((self.max_reprobes,), jnp.int32),
         )
 
-    # --- combined-row views -------------------------------------------------
+    # --- combined-row views (2-D reshapes: host/export/debug paths ONLY —
+    #     a [slots, few] array inside a TPU hot program risks the (8,128)
+    #     padded layout; hot paths use the flat slice gather/scatter) ----
 
     def state_keys(self, state: TableState) -> jax.Array:
         """uint32 [slots, lanes] slot keys ((func << L) | reprobe)."""
-        return state.slots[:, : self.spec.lanes]
+        return state.slots.reshape(self.slots, self.slot_cols)[
+            :, : self.spec.lanes
+        ]
 
     def state_digits(self, state: TableState) -> jax.Array:
         """int32 [slots, 3] count digits."""
         lanes = self.spec.lanes
-        return _bitcast_i32(state.slots[:, lanes : lanes + COUNT_DIGITS])
+        return _bitcast_i32(
+            state.slots.reshape(self.slots, self.slot_cols)[
+                :, lanes : lanes + COUNT_DIGITS
+            ]
+        )
 
     def state_used(self, state: TableState) -> jax.Array:
         """bool [slots] — the m_iKmerStarts analog."""
-        return state.slots[:, -1] != 0
+        return state.slots.reshape(self.slots, self.slot_cols)[:, -1] != 0
 
-    def _with_digits(self, state: TableState, digits: jax.Array
-                     ) -> TableState:
-        lanes = self.spec.lanes
-        return state._replace(
-            slots=jax.lax.dynamic_update_slice(
-                state.slots, _bitcast_u32(digits), (0, lanes)
-            )
+    def _gather_rows(self, slots_flat: jax.Array, pos: jax.Array
+                     ) -> jax.Array:
+        """Combined rows [N, C] at slot indices `pos` from the FLAT array
+        — one gather of C-element slices (XLA lowers it like the r4 row
+        gather, no 2-D operand anywhere)."""
+        cols = self.slot_cols
+        return jax.lax.gather(
+            slots_flat,
+            (pos.astype(jnp.int32) * cols)[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(),
+                start_index_map=(0,),
+            ),
+            slice_sizes=(cols,),
+            mode=jax.lax.GatherScatterMode.CLIP,
         )
+
+    def _scatter_add_rows(self, slots_flat: jax.Array, pos: jax.Array,
+                          rows: jax.Array) -> jax.Array:
+        """slots_flat[pos[i]*C : +C] += rows[i] (unique pos; out-of-range
+        pos drop) — the flat twin of the r4 combined-row scatter."""
+        cols = self.slot_cols
+        return jax.lax.scatter_add(
+            slots_flat,
+            (pos.astype(jnp.int32) * cols)[:, None],
+            rows,
+            jax.lax.ScatterDimensionNumbers(
+                update_window_dims=(1,), inserted_window_dims=(),
+                scatter_dims_to_operand_dims=(0,),
+            ),
+            indices_are_sorted=False,
+            unique_indices=True,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+        )
+
+    def _renorm_flat(self, slots_flat: jax.Array) -> jax.Array:
+        """Base-2^20 digit renormalization directly on the flat array.
+
+        Digit d_j of slot i lives at element i*C + lanes + j; carries
+        propagate d0 -> d1 -> d2 with two shift-by-one adds gated by
+        element-offset masks — pure elementwise work, no [slots, 3]
+        array (the r3 overflow-chain analog, TSXHashMap.h:1501-1623).
+        """
+        cols = self.slot_cols
+        lanes = self.spec.lanes
+        total = slots_flat.shape[0]
+        off = jnp.arange(total, dtype=jnp.int32) % cols
+        is_d0 = off == lanes
+        is_d1 = off == lanes + 1
+        d = _bitcast_i32(slots_flat)
+        mask = jnp.int32(COUNT_DIGIT_MASK)
+
+        def carry_step(d, is_src):
+            carry = jnp.where(is_src, d >> COUNT_DIGIT_BITS, 0)
+            d = jnp.where(is_src, d & mask, d)
+            shifted = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), carry[:-1]]
+            )
+            return d + shifted
+
+        d = carry_step(d, is_d0)
+        d = carry_step(d, is_d1)
+        digit_pos = is_d0 | is_d1 | (off == lanes + 2)
+        return jnp.where(digit_pos, _bitcast_u32(d), slots_flat)
+
+    def _renormed(self, state: TableState) -> TableState:
+        return state._replace(slots=self._renorm_flat(state.slots))
 
     def _hash_parts(self, ukeys: jax.Array) -> tuple[jax.Array, jax.Array]:
         """Returns (pos0 int32 [P], cleared hash lanes uint32 [P, lanes]).
@@ -185,7 +259,7 @@ class QuotientTable:
             slotkey = cleared.at[:, 0].set(
                 cleared[:, 0] | jnp.uint32(r)
             )
-            g = slots[pos]  # ONE gather of the combined row
+            g = self._gather_rows(slots, pos)
             key_g = g[:, :lanes]
             used_g = g[:, -1] != 0
             match = unresolved & used_g & keys_equal(key_g, slotkey)
@@ -209,9 +283,7 @@ class QuotientTable:
                 axis=1,
             )
             safe_upd = jnp.where(upd, pos, s + idx_arr)
-            slots = slots.at[safe_upd].add(
-                row, mode="drop", unique_indices=True
-            )
+            slots = self._scatter_add_rows(slots, safe_upd, row)
             n = n + jnp.sum(winner.astype(jnp.int32))
             hist = jax.lax.dynamic_update_index_in_dim(
                 hist, hist[r] + jnp.sum(upd.astype(jnp.int32)), r, axis=0
@@ -257,7 +329,7 @@ class QuotientTable:
             pos = (pos0 + _triangular(r)) % s
             ru = r.astype(jnp.uint32)
             slotkey0 = cleared[:, 0] | ru
-            g = slots[pos]
+            g = self._gather_rows(slots, pos)
             used_g = g[:, -1] != 0
             key_eq = g[:, 0] == slotkey0
             for j in range(1, lanes):
@@ -303,9 +375,7 @@ class QuotientTable:
                     resolved, pos_s,
                     s + jnp.arange(width, dtype=jnp.int32),
                 )
-                slots = slots.at[safe].add(
-                    row, mode="drop", unique_indices=True
-                )
+                slots = self._scatter_add_rows(slots, safe, row)
             else:
                 from tsxcount_tpu.ops.pallas_apply import (
                     apply_sorted_unique,
@@ -325,11 +395,10 @@ class QuotientTable:
                 u_win = max(
                     1024, -(-(4 * mean + 2048) // 1024) * 1024
                 )
-                flat, overflow = apply_sorted_unique(
-                    slots.reshape(total), dst2, vals, u_win=u_win,
+                slots, overflow = apply_sorted_unique(
+                    slots, dst2, vals, u_win=u_win,
                     interpret=jax.default_backend() != "tpu",
                 )
-                slots = flat.reshape(s, cols)
                 spilled = spilled + overflow
             n = n + jnp.sum(winner.astype(jnp.int32))
             hist = jax.lax.dynamic_update_index_in_dim(
@@ -395,7 +464,7 @@ class QuotientTable:
         out = TableState(
             slots=slots, n=n, spilled=spilled, probe_hist=hist,
         )
-        return self._with_digits(out, renorm_digits(self.state_digits(out)))
+        return self._renormed(out)
 
     def _insert_legacy(self, state: TableState, ukeys: jax.Array,
                        ucounts: jax.Array, uvalid: jax.Array) -> TableState:
@@ -419,7 +488,7 @@ class QuotientTable:
         out = TableState(
             slots=slots, n=n, spilled=spilled, probe_hist=hist,
         )
-        return self._with_digits(out, renorm_digits(self.state_digits(out)))
+        return self._renormed(out)
 
     def insert_phase1_sorted(self, state: TableState, ukeys: jax.Array,
                              ucounts: jax.Array, uvalid: jax.Array,
@@ -502,7 +571,7 @@ class QuotientTable:
         out = TableState(
             slots=slots, n=n, spilled=spilled, probe_hist=hist,
         )
-        return self._with_digits(out, renorm_digits(self.state_digits(out)))
+        return self._renormed(out)
 
     def insert_phase1(self, state: TableState, ukeys: jax.Array,
                       ucounts: jax.Array, uvalid: jax.Array,
@@ -589,7 +658,7 @@ class QuotientTable:
         out = TableState(
             slots=slots, n=n, spilled=spilled, probe_hist=hist,
         )
-        return self._with_digits(out, renorm_digits(self.state_digits(out)))
+        return self._renormed(out)
 
     def lookup(self, state: TableState, queries: jax.Array
                ) -> tuple[jax.Array, jax.Array]:
@@ -614,7 +683,7 @@ class QuotientTable:
             r, active, out, found = carry
             pos = (pos0 + _triangular(r)) % s
             slotkey = cleared.at[:, 0].set(cleared[:, 0] | jnp.uint32(r))
-            g = state.slots[pos]
+            g = self._gather_rows(state.slots, pos)
             used_g = g[:, -1] != 0
             match = active & used_g & keys_equal(g[:, :lanes], slotkey)
             digits_g = _bitcast_i32(g[:, lanes : lanes + COUNT_DIGITS])
@@ -651,7 +720,7 @@ class QuotientTable:
             r, active, out_pos, out_r, found = carry
             pos = (pos0 + _triangular(r)) % s
             slotkey = cleared.at[:, 0].set(cleared[:, 0] | jnp.uint32(r))
-            g = state.slots[pos]
+            g = self._gather_rows(state.slots, pos)
             used_g = g[:, -1] != 0
             match = active & used_g & keys_equal(
                 g[:, : self.spec.lanes], slotkey
@@ -714,8 +783,9 @@ class QuotientTable:
 
         def export_chunk(state: TableState, start):
             rows = jax.lax.dynamic_slice(
-                state.slots, (start, 0), (chunk, self.slot_cols)
-            )
+                state.slots, (start * self.slot_cols,),
+                (chunk * self.slot_cols,),
+            ).reshape(chunk, self.slot_cols)
             keys = rows[:, :lanes]
             key0 = keys[:, 0]
             r = (key0 & self._low_mask).astype(jnp.int32)

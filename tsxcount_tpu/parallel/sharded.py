@@ -1206,13 +1206,13 @@ class ShardedKmerCounter(HpBonusMixin, IngestProgressMixin):
         one shard's slots resident at a time (see _shard_rows)."""
         from tsxcount_tpu.core.table import TableState
 
-        slots = self.table.slots
+        slot_elems = self.table.slots * self.table.slot_cols
         ns = self._gather(self.state.n)
         spills = self._gather(self.state.spilled)
         for shard in range(self.n_shards):
             shard_state = TableState(
                 slots=jnp.asarray(
-                    self._shard_rows(self.state.slots, shard, slots)
+                    self._shard_rows(self.state.slots, shard, slot_elems)
                 ),
                 n=jnp.asarray(ns[shard]),
                 spilled=jnp.asarray(spills[shard]),
