@@ -216,9 +216,27 @@ def _rand_batch(rng, n, n_u, spec):
     return ukeys, ucounts, uvalid
 
 
-def test_sorted_rounds_kernel_matches_legacy():
-    # full insert via the Pallas apply kernel (interpret on CPU) against
-    # the legacy original-order rounds: same counts, same n, same spill
+def _split_insert(table, st, k, c, v, mode):
+    import jax
+    import jax.numpy as jnp
+
+    d0, v0, carry0, _, dn0, dres0 = table.sorted_round(
+        st, 0, *table.round0_args(k, c, v)
+    )
+    st = table.apply_round(st, 0, d0, v0, dn0, dres0, mode)
+    d1, v1, carry1, n_enter1, dn1, dres1 = table.sorted_round(
+        st, 1, *carry0
+    )
+    st = table.apply_round(st, 1, d1, v1, dn1, dres1, mode)
+    f = int(jax.device_get(n_enter1))
+    w2 = min(k.shape[0], max(256, 1 << (max(1, f) - 1).bit_length()))
+    return table.residue_phase(st, tuple(x[:w2] for x in carry1), 2, w2)
+
+
+def test_sorted_split_flow_matches_legacy():
+    # the r5 split flow (sorted_round + apply_round kernel/scatter +
+    # residue_phase) against the legacy single-program rounds: same
+    # counts, same n, same spill
     import jax.numpy as jnp
     import numpy as np
 
@@ -231,18 +249,10 @@ def test_sorted_rounds_kernel_matches_legacy():
     assert table.sorted_rounds
     n, n_u = 2048, 700
     ukeys, ucounts, uvalid = _rand_batch(rng, n, n_u, spec)
-    st_k = table.insert(
-        table.init_state(), jnp.asarray(ukeys), jnp.asarray(ucounts),
-        jnp.asarray(uvalid), apply_mode="kernel",
-    )
-    st_s = table.insert(
-        table.init_state(), jnp.asarray(ukeys), jnp.asarray(ucounts),
-        jnp.asarray(uvalid), apply_mode="scatter",
-    )
-    st_l = table._insert_legacy(
-        table.init_state(), jnp.asarray(ukeys), jnp.asarray(ucounts),
-        jnp.asarray(uvalid),
-    )
+    args = (jnp.asarray(ukeys), jnp.asarray(ucounts), jnp.asarray(uvalid))
+    st_k = _split_insert(table, table.init_state(), *args, mode="kernel")
+    st_s = _split_insert(table, table.init_state(), *args, mode="scatter")
+    st_l = table.insert(table.init_state(), *args)
     for st in (st_k, st_s):
         assert int(st.n) == n_u == int(st_l.n)
         assert int(st.spilled) == 0
@@ -255,8 +265,9 @@ def test_sorted_rounds_kernel_matches_legacy():
         assert list(qc[order_q]) == list(lc[order_l])
 
 
-def test_sorted_phase_split_matches_single_program():
-    import jax
+def test_sorted_split_flow_multi_batch_exact():
+    # multi-batch ingest through the split flow: counts add exactly and
+    # matches hit keys claimed in earlier batches at any reprobe depth
     import jax.numpy as jnp
     import numpy as np
 
@@ -264,25 +275,26 @@ def test_sorted_phase_split_matches_single_program():
     from tsxcount_tpu.ops.gf2 import GF2Hash
 
     spec = KmerSpec(14)
-    rng = np.random.default_rng(7)
-    table = QuotientTable(spec, 9, GF2Hash(spec))
-    n, n_u = 1024, 400
-    ukeys, ucounts, uvalid = _rand_batch(rng, n, n_u, spec)
-    k, c, v = (jnp.asarray(ukeys), jnp.asarray(ucounts),
-               jnp.asarray(uvalid))
-    whole = table.insert(table.init_state(), k, c, v)
-    mid, r1, carry, front = table.insert_phase1_sorted(
-        table.init_state(), k, c, v, residue_limit=128,
-    )
-    f = int(jax.device_get(front))
-    w2 = max(256, 1 << (max(1, f) - 1).bit_length())
-    split = table.insert_phase2_sorted(mid, carry, r1, min(n, w2))
-    assert int(split.n) == int(whole.n) == n_u
-    a = table.to_host(split)
-    b = table.to_host(whole)
-    assert a[2] == b[2]
-    import numpy as np
-
-    np.testing.assert_array_equal(
-        a[0][np.lexsort(a[0].T)], b[0][np.lexsort(b[0].T)]
-    )
+    rng = np.random.default_rng(17)
+    table = QuotientTable(spec, 16, GF2Hash(spec))
+    st = table.init_state()
+    truth = {}
+    for _ in range(4):
+        n = 2048
+        n_u = int(rng.integers(700, 1500))
+        uniq = rng.choice(2**16, size=n_u, replace=False).astype(np.uint32)
+        ukeys = np.zeros((n, 1), np.uint32)
+        ukeys[:n_u, 0] = uniq
+        ucounts = rng.integers(1, 5, size=n).astype(np.int32)
+        uvalid = np.arange(n) < n_u
+        for k_, c_ in zip(uniq, ucounts[:n_u]):
+            truth[int(k_)] = truth.get(int(k_), 0) + int(c_)
+        st = _split_insert(
+            table, st, jnp.asarray(ukeys), jnp.asarray(ucounts),
+            jnp.asarray(uvalid), mode="kernel",
+        )
+    assert int(st.n) == len(truth)
+    assert int(st.spilled) == 0
+    kk, cc, _ = table.to_host(st)
+    got = {int(k[0]): int(c) for k, c in zip(kk, cc)}
+    assert got == truth

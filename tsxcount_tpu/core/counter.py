@@ -528,19 +528,44 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         return dedupe_t
 
     def _table_phase_jits(self, width: int):
-        """(phase1, phase2) jits specialized to an insert width (cached)."""
+        """Jits specialized to an insert width (cached).
+
+        sorted_rounds: the r5 split flow — two (sorted_round, apply_round)
+        program pairs for reprobe rounds 0 and 1 (round 0 resolves the
+        non-colliding majority; round 1's sort compacts the residue to a
+        prefix), then residue_phase at a host-chosen narrow width.  Each
+        program sticks to one view of the slot array (core/table.py
+        sorted-apply notes)."""
         table = self.table
         jits = self._tphase_cache.get(width)
         if jits is None:
             if table.sorted_rounds:
-                limit = max(256, width // 8)
-                ph1 = jax.jit(
-                    lambda st, k, c, v: table.insert_phase1_sorted(
-                        st, k[:width], c[:width], v[:width], limit
-                    ),
-                    donate_argnums=(0,),
-                )
-                ph2 = None  # per-residue-width, see _table_phase2_jit
+                mode = table.apply_mode_auto(width)
+
+                def _mk_r(r):
+                    if r == 0:
+                        return jax.jit(
+                            lambda st, k, c, v: table.sorted_round(
+                                st, 0, *table.round0_args(
+                                    k[:width], c[:width], v[:width]
+                                )
+                            )
+                        )
+                    return jax.jit(
+                        lambda st, p0, cl, c, a: table.sorted_round(
+                            st, r, p0, cl, c, a
+                        )
+                    )
+
+                def _mk_a(r):
+                    return jax.jit(
+                        lambda st, d, v, dn, dres: table.apply_round(
+                            st, r, d, v, dn, dres, mode
+                        ),
+                        donate_argnums=(0,),
+                    )
+
+                jits = (_mk_r(0), _mk_a(0), _mk_r(1), _mk_a(1))
             else:
                 ph1 = jax.jit(
                     lambda st, k, c, v: table.insert_phase1(
@@ -554,22 +579,21 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
                     ),
                     donate_argnums=(0,),
                 )
-            jits = self._tphase_cache[width] = (ph1, ph2)
+                jits = (ph1, ph2)
+            self._tphase_cache[width] = jits
         return jits
 
-    def _table_phase2_jit(self, width2: int):
-        """Sorted-round phase2 jit at a host-chosen residue width.
-
-        The residue width was a static 1/8 of the batch before r5; with
-        phase1 reporting the actual active front (typically a few
-        percent), the host picks the smallest pow2 bucket that holds it —
-        the residue rounds' sort+scatter then run ~8-40x narrower."""
-        jit = self._tph2_cache.get(width2)
+    def _table_residue_jit(self, width: int, width2: int):
+        """residue_phase jit at a host-chosen narrow width (was a static
+        width/8 before r5; round 1 reports the exact residue front, so
+        the remaining rounds run in the smallest pow2 bucket that holds
+        it — typically 8-40x narrower)."""
+        jit = self._tph2_cache.get((width, width2))
         if jit is None:
             table = self.table
-            jit = self._tph2_cache[width2] = jax.jit(
-                lambda st, carry, r1: table.insert_phase2_sorted(
-                    st, carry, r1, width2
+            jit = self._tph2_cache[(width, width2)] = jax.jit(
+                lambda st, p0, cl, c, a: table.residue_phase(
+                    st, (p0, cl, c, a), 2, width2
                 ),
                 donate_argnums=(0,),
             )
@@ -584,13 +608,20 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
             if 256 <= w and n <= w:
                 width = w
                 break
-        ph1, ph2 = self._table_phase_jits(width)
+        jits = self._table_phase_jits(width)
         if self.table.sorted_rounds:
-            mid, r1, carry, front = ph1(self.state, keys, counts, valid)
-            f = int(jax.device_get(front))
+            j_r0, j_a0, j_r1, j_a1 = jits
+            d0, v0, carry0, _, dn0, dres0 = j_r0(
+                self.state, keys, counts, valid
+            )
+            st = j_a0(self.state, d0, v0, dn0, dres0)
+            d1, v1, carry1, n_enter1, dn1, dres1 = j_r1(st, *carry0)
+            st = j_a1(st, d1, v1, dn1, dres1)
+            f = int(jax.device_get(n_enter1))
             w2 = min(width, max(256, 1 << (max(1, f) - 1).bit_length()))
-            self.state = self._table_phase2_jit(w2)(mid, carry, r1)
+            self.state = self._table_residue_jit(width, w2)(st, *carry1)
         else:
+            ph1, ph2 = jits
             mid, r1, unresolved = ph1(self.state, keys, counts, valid)
             self.state = ph2(mid, keys, counts, unresolved, r1)
 

@@ -41,7 +41,7 @@ from tsxcount_tpu.config import (
     KmerSpec,
     counts_to_int,
 )
-from tsxcount_tpu.ops.count import int32_to_digits
+from tsxcount_tpu.ops.count import int32_to_digits, renorm_digits
 from tsxcount_tpu.ops.gf2 import GF2Hash
 from tsxcount_tpu.ops.lanes import keys_equal
 
@@ -163,56 +163,17 @@ class QuotientTable:
             mode=jax.lax.GatherScatterMode.CLIP,
         )
 
-    def _scatter_add_rows(self, slots_flat: jax.Array, pos: jax.Array,
-                          rows: jax.Array) -> jax.Array:
-        """slots_flat[pos[i]*C : +C] += rows[i] (unique pos; out-of-range
-        pos drop) — the flat twin of the r4 combined-row scatter."""
-        cols = self.slot_cols
-        return jax.lax.scatter_add(
-            slots_flat,
-            (pos.astype(jnp.int32) * cols)[:, None],
-            rows,
-            jax.lax.ScatterDimensionNumbers(
-                update_window_dims=(1,), inserted_window_dims=(),
-                scatter_dims_to_operand_dims=(0,),
-            ),
-            indices_are_sorted=False,
-            unique_indices=True,
-            mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
-        )
-
-    def _renorm_flat(self, slots_flat: jax.Array) -> jax.Array:
-        """Base-2^20 digit renormalization directly on the flat array.
-
-        Digit d_j of slot i lives at element i*C + lanes + j; carries
-        propagate d0 -> d1 -> d2 with two shift-by-one adds gated by
-        element-offset masks — pure elementwise work, no [slots, 3]
-        array (the r3 overflow-chain analog, TSXHashMap.h:1501-1623).
-        """
-        cols = self.slot_cols
+    def _renormed2d(self, slots2d: jax.Array) -> jax.Array:
+        """Digit renormalization on the 2-D combined-row view (base-2^20
+        carry propagation — the r3 overflow-chain analog,
+        TSXHashMap.h:1501-1623).  2-D-form programs only."""
         lanes = self.spec.lanes
-        total = slots_flat.shape[0]
-        off = jnp.arange(total, dtype=jnp.int32) % cols
-        is_d0 = off == lanes
-        is_d1 = off == lanes + 1
-        d = _bitcast_i32(slots_flat)
-        mask = jnp.int32(COUNT_DIGIT_MASK)
-
-        def carry_step(d, is_src):
-            carry = jnp.where(is_src, d >> COUNT_DIGIT_BITS, 0)
-            d = jnp.where(is_src, d & mask, d)
-            shifted = jnp.concatenate(
-                [jnp.zeros((1,), jnp.int32), carry[:-1]]
-            )
-            return d + shifted
-
-        d = carry_step(d, is_d0)
-        d = carry_step(d, is_d1)
-        digit_pos = is_d0 | is_d1 | (off == lanes + 2)
-        return jnp.where(digit_pos, _bitcast_u32(d), slots_flat)
-
-    def _renormed(self, state: TableState) -> TableState:
-        return state._replace(slots=self._renorm_flat(state.slots))
+        digits = _bitcast_i32(
+            slots2d[:, lanes : lanes + COUNT_DIGITS]
+        )
+        return jax.lax.dynamic_update_slice(
+            slots2d, _bitcast_u32(renorm_digits(digits)), (0, lanes)
+        )
 
     def _hash_parts(self, ukeys: jax.Array) -> tuple[jax.Array, jax.Array]:
         """Returns (pos0 int32 [P], cleared hash lanes uint32 [P, lanes]).
@@ -259,7 +220,7 @@ class QuotientTable:
             slotkey = cleared.at[:, 0].set(
                 cleared[:, 0] | jnp.uint32(r)
             )
-            g = self._gather_rows(slots, pos)
+            g = slots[pos]  # ONE row gather of the combined 2-D view
             key_g = g[:, :lanes]
             used_g = g[:, -1] != 0
             match = unresolved & used_g & keys_equal(key_g, slotkey)
@@ -283,7 +244,9 @@ class QuotientTable:
                 axis=1,
             )
             safe_upd = jnp.where(upd, pos, s + idx_arr)
-            slots = self._scatter_add_rows(slots, safe_upd, row)
+            slots = slots.at[safe_upd].add(
+                row, mode="drop", unique_indices=True
+            )
             n = n + jnp.sum(winner.astype(jnp.int32))
             hist = jax.lax.dynamic_update_index_in_dim(
                 hist, hist[r] + jnp.sum(upd.astype(jnp.int32)), r, axis=0
@@ -293,184 +256,217 @@ class QuotientTable:
         return body
 
     # --- sorted-apply rounds (r5) -------------------------------------------
+    #
+    # A full-width reprobe round is split into TWO single-form programs
+    # (VERDICT r4 #2; the forms must not mix — r5 measured XLA's flat
+    # slice gather/scatter at 16.6/21.5 s per 9.6M-row round, and a
+    # program mixing the 2-D row view with the flat kernel view
+    # materialized the (8,128)-padded [2^26, 5] layout, a 32 GiB copy):
+    #
+    #   * sorted_round (2-D view only): row-gather slot contents, stable-
+    #     sort rows by (pos<<2 | match<<1 | contender), arbitrate (winner
+    #     = LAST contender of its run, so each run's single live row is
+    #     its last element), and emit flat doubled element destinations +
+    #     combined add-rows for the apply.  Dead-but-active rows collapse
+    #     to one even destination (pos*C)<<1, keeping dst2 globally
+    #     non-decreasing no matter where the match row sits in its run.
+    #   * apply_round (flat only): the butterfly-distributor sweep
+    #     (ops/pallas_apply.py, 47 ms for 36M elements into 335M slots vs
+    #     765 ms for the r4 row scatter) plus the n/hist/spilled updates.
+    #
+    # The unresolved set stays in sorted order between rounds (no bool
+    # scatter back); round 1's sort pushes round-0-resolved rows to the
+    # tail, so after two split rounds the actives occupy a prefix bounded
+    # by round 1's entering count — the host reads that scalar and runs
+    # the remaining rounds at the narrowest pow2 width (residue_phase,
+    # the r4-style 2-D rounds, typically 8-40x narrower than the old
+    # static width/8).
 
-    def _round_sorted_body(self, apply_mode: str):
-        """One batched reprobe round over SORTED-DOMAIN carry arrays.
+    def sorted_round(self, state: TableState, r: int, pos0, cleared,
+                     counts, active):
+        """One arbitration round at static reprobe index `r` (2-D form).
 
-        carry = (r, slots, n, spilled, hist, pos0, cleared, counts,
-        active): the row arrays are permuted by each round's slot sort —
-        winner arbitration, the slot update, and the unresolved set all
-        live in sorted order, so no scatter ever maps anything back to
-        original order (the legacy _round_body pays a bool scatter for
-        the winner mask and a per-row combined scatter for the update).
-
-        Sort key: (pos << 2) | match << 1 | contender, stable — runs
-        group by probed slot; blocked rows sort before the match row, and
-        the round's claim winner is the LAST contender of its run (an
-        arbitrary-but-deterministic choice, like the reference's "whoever
-        wins the transaction", TSXHashMapCAS.h:268-508), so every run's
-        single LIVE row is its last element and the flat doubled update
-        destinations stay globally non-decreasing for the apply kernel.
-
-        apply_mode: "kernel" = Pallas linear sweep (ops/pallas_apply.py;
-        big widths on TPU), "scatter" = per-row XLA scatter from the
-        sorted domain (small widths, CPU, shard_map).
+        Does NOT touch state.slots — returns the flat update stream for
+        apply_round plus the permuted carry:
+        (dst2, vals, carry=(pos0_s, cleared_s, counts_s, active_next),
+         n_enter, d_n, d_resolved).
         """
         s = self.slots
         lanes = self.spec.lanes
         cols = self.slot_cols
-        total = s * cols
+        width = pos0.shape[0]
         inactive = jnp.uint32(0xFFFFFFFF)
+        pos = (pos0 + _triangular(jnp.int32(r))) % s
+        ru = jnp.uint32(r)
+        slotkey0 = cleared[:, 0] | ru
+        slots2d = state.slots.reshape(s, cols)
+        g = slots2d[pos]
+        used_g = g[:, -1] != 0
+        key_eq = g[:, 0] == slotkey0
+        for j in range(1, lanes):
+            key_eq = key_eq & (g[:, j] == cleared[:, j])
+        match = active & used_g & key_eq
+        contend = active & ~used_g
+        ckey = jnp.where(
+            active,
+            (pos.astype(jnp.uint32) << 2)
+            | (match.astype(jnp.uint32) << 1)
+            | contend.astype(jnp.uint32),
+            inactive,
+        )
+        posm = pos0 | (match.astype(jnp.int32) << 30)
+        ops = (ckey, posm, counts) + tuple(
+            cleared[:, j] for j in range(lanes)
+        )
+        sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+        ckey_s, posm_s, counts_s = sorted_ops[:3]
+        cleared_s = jnp.stack(sorted_ops[3:], axis=1)
+        active_s = ckey_s != inactive
+        match_s = ((posm_s >> 30) & 1) == 1
+        pos0_s = posm_s & ((1 << 30) - 1)
+        # the inactive sentinel has both flag bits set — gate on active_s
+        contend_s = active_s & ((ckey_s & 1) == 1)
+        pos_s = (ckey_s >> 2).astype(jnp.int32)
+        run_end = jnp.concatenate([
+            (ckey_s[1:] >> 2) != (ckey_s[:-1] >> 2),
+            jnp.ones((1,), jnp.bool_),
+        ])
+        winner = contend_s & run_end
+        resolved = match_s | winner
+        slotkey_s = cleared_s.at[:, 0].set(cleared_s[:, 0] | ru)
+        digits_s = int32_to_digits(counts_s)
+        vals = jnp.concatenate([
+            jnp.where(winner[:, None], slotkey_s, jnp.uint32(0)),
+            _bitcast_u32(digits_s),
+            winner.astype(jnp.uint32)[:, None],
+        ], axis=1).reshape(width * cols)
+        base = pos_s * cols
+        ec = jnp.arange(cols, dtype=jnp.int32)
+        dst2 = jnp.where(
+            active_s[:, None],
+            jnp.where(
+                resolved[:, None],
+                ((base[:, None] + ec[None, :]) << 1) | 1,
+                # dead-but-active rows: all C elements collapse to the
+                # run's first even value — sorted regardless of where
+                # the live row sits in its run, never applied
+                (base << 1)[:, None] + (ec[None, :] * 0),
+            ),
+            jnp.int32(1 << 30),
+        ).reshape(width * cols)
+        carry = (pos0_s, cleared_s, counts_s, active_s & ~resolved)
+        return (
+            dst2, vals, carry,
+            jnp.sum(active.astype(jnp.int32)),
+            jnp.sum(winner.astype(jnp.int32)),
+            jnp.sum(resolved.astype(jnp.int32)),
+        )
 
-        def body(carry):
-            (r, slots, n, spilled, hist, pos0, cleared, counts,
-             active) = carry
-            width = pos0.shape[0]
-            pos = (pos0 + _triangular(r)) % s
-            ru = r.astype(jnp.uint32)
-            slotkey0 = cleared[:, 0] | ru
-            g = self._gather_rows(slots, pos)
-            used_g = g[:, -1] != 0
-            key_eq = g[:, 0] == slotkey0
-            for j in range(1, lanes):
-                key_eq = key_eq & (g[:, j] == cleared[:, j])
-            match = active & used_g & key_eq
-            contend = active & ~used_g
-            ckey = jnp.where(
-                active,
-                (pos.astype(jnp.uint32) << 2)
-                | (match.astype(jnp.uint32) << 1)
-                | contend.astype(jnp.uint32),
-                inactive,
+    def apply_round(self, state: TableState, r: int, dst2, vals,
+                    d_n, d_resolved, mode: str = "kernel") -> TableState:
+        """Apply one round's update stream + bookkeeping (flat form)."""
+        if mode == "kernel":
+            from tsxcount_tpu.ops.pallas_apply import apply_sorted_unique
+
+            total = state.slots.shape[0]
+            t_tiles = max(1, total // min(total, 1 << 17))
+            mean = dst2.shape[0] // t_tiles
+            u_win = 1024
+            while u_win < 4 * mean + 2048:
+                u_win *= 2
+            slots, overflow = apply_sorted_unique(
+                state.slots, dst2, vals, u_win=u_win,
+                interpret=jax.default_backend() != "tpu",
             )
-            posm = pos0 | (match.astype(jnp.int32) << 30)
-            ops = (ckey, posm, counts) + tuple(
-                cleared[:, j] for j in range(lanes)
+        else:
+            # 2-D row scatter from the sorted stream (small widths, CPU)
+            cols = self.slot_cols
+            width = dst2.shape[0] // cols
+            d0 = dst2.reshape(width, cols)[:, 0]
+            live = (d0 & 1) == 1
+            safe = jnp.where(
+                live, (d0 >> 1) // cols,
+                self.slots + jnp.arange(width, dtype=jnp.int32),
             )
-            sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
-            ckey_s, posm_s, counts_s = sorted_ops[:3]
-            cleared_s = jnp.stack(sorted_ops[3:], axis=1)
-            active_s = ckey_s != inactive
-            match_s = ((posm_s >> 30) & 1) == 1
-            pos0_s = posm_s & ((1 << 30) - 1)
-            # the inactive sentinel 0xFFFFFFFF has both flag bits set —
-            # every flag derived from ckey_s must be gated on active_s
-            contend_s = active_s & ((ckey_s & 1) == 1)
-            pos_s = (ckey_s >> 2).astype(jnp.int32)
-            run_end = jnp.concatenate([
-                (ckey_s[1:] >> 2) != (ckey_s[:-1] >> 2),
-                jnp.ones((1,), jnp.bool_),
-            ])
-            winner = contend_s & run_end
-            resolved = match_s | winner
-            slotkey_s = cleared_s.at[:, 0].set(cleared_s[:, 0] | ru)
-            digits_s = int32_to_digits(counts_s)
-            row = jnp.concatenate([
-                jnp.where(winner[:, None], slotkey_s, jnp.uint32(0)),
-                _bitcast_u32(digits_s),
-                winner.astype(jnp.uint32)[:, None],
-            ], axis=1)
-            if apply_mode == "scatter":
-                safe = jnp.where(
-                    resolved, pos_s,
-                    s + jnp.arange(width, dtype=jnp.int32),
-                )
-                slots = self._scatter_add_rows(slots, safe, row)
-            else:
-                from tsxcount_tpu.ops.pallas_apply import (
-                    apply_sorted_unique,
-                )
-
-                base = pos_s * cols
-                ec = jnp.arange(cols, dtype=jnp.int32)
-                dst2 = jnp.where(
-                    active_s[:, None],
-                    ((base[:, None] + ec[None, :]) << 1)
-                    | resolved[:, None].astype(jnp.int32),
-                    jnp.int32(1 << 30),
-                ).reshape(width * cols)
-                vals = row.reshape(width * cols)
-                t_tiles = max(1, total // min(total, 1 << 17))
-                mean = (width * cols) // t_tiles
-                u_win = max(
-                    1024, -(-(4 * mean + 2048) // 1024) * 1024
-                )
-                slots, overflow = apply_sorted_unique(
-                    slots, dst2, vals, u_win=u_win,
-                    interpret=jax.default_backend() != "tpu",
-                )
-                spilled = spilled + overflow
-            n = n + jnp.sum(winner.astype(jnp.int32))
-            hist = jax.lax.dynamic_update_index_in_dim(
-                hist, hist[r] + jnp.sum(resolved.astype(jnp.int32)),
-                r, axis=0,
+            slots2d = state.slots.reshape(self.slots, cols)
+            slots2d = slots2d.at[safe].add(
+                vals.reshape(width, cols), mode="drop",
+                unique_indices=True,
             )
-            return (r + 1, slots, n, spilled, hist, pos0_s, cleared_s,
-                    counts_s, active_s & ~resolved)
+            slots = slots2d.reshape(-1)
+            overflow = jnp.zeros((), jnp.int32)
+        hist = jax.lax.dynamic_update_index_in_dim(
+            state.probe_hist, state.probe_hist[r] + d_resolved, r, axis=0
+        )
+        return TableState(
+            slots=slots, n=state.n + d_n,
+            spilled=state.spilled + overflow, probe_hist=hist,
+        )
 
-        return body
+    def residue_phase(self, state: TableState, carry, r_start: int,
+                      width2: int) -> TableState:
+        """Finish an insert from the sorted carry at a narrow static
+        width (r4-style 2-D rounds + renorm).  Rows active beyond the
+        slice are counted spilled — impossible when width2 covers round
+        r_start's entering actives (the host sizes it from the reported
+        scalar)."""
+        pos0, cleared, counts, active = carry
+        lost = (
+            jnp.sum(active.astype(jnp.int32))
+            - jnp.sum(active[:width2].astype(jnp.int32))
+        )
+        body = self._round_body(
+            pos0[:width2], cleared[:width2],
+            int32_to_digits(counts[:width2]),
+        )
 
-    def _auto_apply_mode(self, width: int) -> str:
-        """kernel sweep when a round's width justifies a full-table pass:
-        the XLA row scatter costs ~80 ns/row (tablebench r5: 765 ms at
-        9.6M rows) while the Pallas sweep costs a roughly width-
-        independent table pass (~100 ms at l=26)."""
+        def cond(c):
+            r, unresolved, *_ = c
+            return (r < self.max_reprobes) & jnp.any(unresolved)
+
+        slots2d = state.slots.reshape(self.slots, self.slot_cols)
+        r, unresolved, slots2d, n, hist = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(r_start), active[:width2], slots2d, state.n,
+             state.probe_hist),
+        )
+        spilled = (
+            state.spilled + lost + jnp.sum(unresolved.astype(jnp.int32))
+        )
+        slots2d = self._renormed2d(slots2d)
+        return TableState(
+            slots=slots2d.reshape(-1), n=n, spilled=spilled,
+            probe_hist=hist,
+        )
+
+    def round0_args(self, ukeys, ucounts, uvalid):
+        """(pos0, cleared, counts, active) for sorted_round r=0."""
+        pos0, cleared = self._hash_parts(ukeys)
+        return pos0, cleared, ucounts.astype(jnp.int32), uvalid
+
+    def apply_mode_auto(self, width: int) -> str:
+        """kernel sweep when the round width justifies a full-table pass
+        (measured r5: the sweep is ~47 ms at l=26 k=14 while the 2-D row
+        scatter costs ~80 ns/row), else the 2-D row scatter."""
         total = self.slots * self.slot_cols
         if (
             jax.default_backend() == "tpu"
             and self.sorted_rounds
             and total % 1024 == 0
-            and width >= (1 << 21)
+            and width * self.slot_cols >= (1 << 22)
         ):
             return "kernel"
         return "scatter"
 
     def insert(self, state: TableState, ukeys: jax.Array, ucounts: jax.Array,
-               uvalid: jax.Array, apply_mode: str | None = None
-               ) -> TableState:
-        """Insert a deduplicated batch histogram (keys unique where uvalid).
-
-        Single-program round loop (the sharded per-shard path and generic
-        callers) over the sorted-apply rounds (_round_sorted_body); tables
-        too large for the int32 flat-destination packing fall back to the
-        legacy original-order rounds.  The single-chip counter uses the
-        two-dispatch insert_phase1/insert_phase2 pair instead — same
-        semantics, but the residue rounds run at a host-chosen narrow
-        width.  The two-level schedule must NOT live inside one program:
-        a while_loop -> sort -> while_loop chain makes XLA materialize
-        the [slots, 3] digit array in a (8,128)-tiled layout (minor dim
-        padded 3 -> 128 = 32 GiB at l=26, a compile-time OOM observed on
-        the v5e); a dispatch boundary between the phases keeps the
-        r3-proven layouts.
-        """
-        if not self.sorted_rounds:
-            return self._insert_legacy(state, ukeys, ucounts, uvalid)
-        p = ukeys.shape[0]
-        mode = apply_mode or self._auto_apply_mode(p)
-        pos0, cleared = self._hash_parts(ukeys)
-        body = self._round_sorted_body(mode)
-
-        def cond(carry):
-            r, _, _, _, _, _, _, _, active = carry
-            return (r < self.max_reprobes) & jnp.any(active)
-
-        (_, slots, n, spilled, hist, _, _, _, active) = jax.lax.while_loop(
-            cond, body,
-            (jnp.zeros((), jnp.int32), state.slots, state.n,
-             state.spilled, state.probe_hist, pos0, cleared,
-             ucounts.astype(jnp.int32), uvalid),
-        )
-        spilled = spilled + jnp.sum(active.astype(jnp.int32))
-        out = TableState(
-            slots=slots, n=n, spilled=spilled, probe_hist=hist,
-        )
-        return self._renormed(out)
-
-    def _insert_legacy(self, state: TableState, ukeys: jax.Array,
-                       ucounts: jax.Array, uvalid: jax.Array) -> TableState:
-        """Original-order rounds (winner bool scatter + combined-row
-        scatter) — kept for tables beyond the sorted-round packing range
-        and for A/B measurement."""
+               uvalid: jax.Array) -> TableState:
+        """Insert a deduplicated batch histogram (keys unique where
+        uvalid) as ONE program of r4-style 2-D rounds — the sharded
+        per-shard path and generic callers.  The single-chip counter uses
+        the split sorted_round/apply_round/residue_phase flow instead
+        (core/counter.py _table_step), whose round-0/1 slot updates run
+        the Pallas sweep.  Each program sticks to ONE view of the slot
+        array (2-D here) — see the sorted-apply section notes."""
         pos0, cleared = self._hash_parts(ukeys)
         add_digits = int32_to_digits(ucounts.astype(jnp.int32))
         body = self._round_body(pos0, cleared, add_digits)
@@ -479,99 +475,18 @@ class QuotientTable:
             r, unresolved, *_ = carry
             return (r < self.max_reprobes) & jnp.any(unresolved)
 
-        r, unresolved, slots, n, hist = jax.lax.while_loop(
+        slots2d = state.slots.reshape(self.slots, self.slot_cols)
+        r, unresolved, slots2d, n, hist = jax.lax.while_loop(
             cond, body,
-            (jnp.zeros((), jnp.int32), uvalid, state.slots, state.n,
+            (jnp.zeros((), jnp.int32), uvalid, slots2d, state.n,
              state.probe_hist),
         )
         spilled = state.spilled + jnp.sum(unresolved.astype(jnp.int32))
-        out = TableState(
-            slots=slots, n=n, spilled=spilled, probe_hist=hist,
+        slots2d = self._renormed2d(slots2d)
+        return TableState(
+            slots=slots2d.reshape(-1), n=n, spilled=spilled,
+            probe_hist=hist,
         )
-        return self._renormed(out)
-
-    def insert_phase1_sorted(self, state: TableState, ukeys: jax.Array,
-                             ucounts: jax.Array, uvalid: jax.Array,
-                             residue_limit: int,
-                             apply_mode: str | None = None):
-        """Sorted-apply rounds until the active front fits residue_limit.
-
-        Runs full-width rounds while the number of rows ENTERING a round
-        exceeds residue_limit, plus exactly one more round (whose sort
-        pushes earlier-resolved rows to the tail), so on return the
-        active rows all sit within the first `front` positions of the
-        permuted carry.  Returns (mid_state, r1, carry, front) where
-        carry = (pos0, cleared, counts, active) in sorted order and
-        front (int32 scalar, <= residue_limit unless round 0 never ran)
-        bounds the prefix insert_phase2_sorted must keep.  uvalid must be
-        a prefix (dedupe output is).  Digits NOT yet renormalized —
-        phase2 must always follow.
-        """
-        p = ukeys.shape[0]
-        mode = apply_mode or self._auto_apply_mode(p)
-        pos0, cleared = self._hash_parts(ukeys)
-        body = self._round_sorted_body(mode)
-        limit = jnp.int32(residue_limit)
-
-        def body_f(carry_f):
-            inner, _ = carry_f
-            front = jnp.sum(inner[8].astype(jnp.int32))
-            return body(inner), front
-
-        def cond(carry_f):
-            inner, front = carry_f
-            r = inner[0]
-            active = inner[8]
-            return (
-                (r < self.max_reprobes)
-                & jnp.any(active)
-                & (front > limit)
-            )
-
-        carry0 = (
-            (jnp.zeros((), jnp.int32), state.slots, state.n,
-             state.spilled, state.probe_hist, pos0, cleared,
-             ucounts.astype(jnp.int32), uvalid),
-            jnp.sum(uvalid.astype(jnp.int32)),
-        )
-        (inner, front) = jax.lax.while_loop(cond, body_f, carry0)
-        (r1, slots, n, spilled, hist, pos0_s, cleared_s, counts_s,
-         active_s) = inner
-        mid = TableState(
-            slots=slots, n=n, spilled=spilled, probe_hist=hist,
-        )
-        return mid, r1, (pos0_s, cleared_s, counts_s, active_s), front
-
-    def insert_phase2_sorted(self, state: TableState, carry, r1,
-                             width2: int,
-                             apply_mode: str = "scatter") -> TableState:
-        """Finish an insert from insert_phase1_sorted's carry at a narrow
-        static width2 (host-chosen >= the returned front; a pow2 bucket
-        keeps the compile count bounded).  Rows active beyond the slice
-        would be lost — counted spilled, exactly like the legacy residue
-        overflow (impossible when width2 >= front)."""
-        pos0, cleared, counts, active = carry
-        lost = (
-            jnp.sum(active.astype(jnp.int32))
-            - jnp.sum(active[:width2].astype(jnp.int32))
-        )
-        body = self._round_sorted_body(apply_mode)
-
-        def cond(carry2):
-            r, _, _, _, _, _, _, _, act = carry2
-            return (r < self.max_reprobes) & jnp.any(act)
-
-        (_, slots, n, spilled, hist, _, _, _, act) = jax.lax.while_loop(
-            cond, body,
-            (r1, state.slots, state.n, state.spilled + lost,
-             state.probe_hist, pos0[:width2], cleared[:width2],
-             counts[:width2], active[:width2]),
-        )
-        spilled = spilled + jnp.sum(act.astype(jnp.int32))
-        out = TableState(
-            slots=slots, n=n, spilled=spilled, probe_hist=hist,
-        )
-        return self._renormed(out)
 
     def insert_phase1(self, state: TableState, ukeys: jax.Array,
                       ucounts: jax.Array, uvalid: jax.Array,
@@ -599,13 +514,15 @@ class QuotientTable:
                 jnp.sum(unresolved.astype(jnp.int32)) > p_small
             )
 
-        r1, unresolved, slots, n, hist = jax.lax.while_loop(
+        slots2d = state.slots.reshape(self.slots, self.slot_cols)
+        r1, unresolved, slots2d, n, hist = jax.lax.while_loop(
             cond, body,
-            (jnp.zeros((), jnp.int32), uvalid, state.slots, state.n,
+            (jnp.zeros((), jnp.int32), uvalid, slots2d, state.n,
              state.probe_hist),
         )
         mid = TableState(
-            slots=slots, n=n, spilled=state.spilled, probe_hist=hist,
+            slots=slots2d.reshape(-1), n=n, spilled=state.spilled,
+            probe_hist=hist,
         )
         return mid, r1, unresolved
 
@@ -648,17 +565,19 @@ class QuotientTable:
             r, unresolved, *_ = carry
             return (r < max_r) & jnp.any(unresolved)
 
-        _, unres_end, slots, n, hist = jax.lax.while_loop(
+        slots2d = state.slots.reshape(self.slots, self.slot_cols)
+        _, unres_end, slots2d, n, hist = jax.lax.while_loop(
             cond, body,
-            (r1, unres_s, state.slots, state.n, state.probe_hist),
+            (r1, unres_s, slots2d, state.n, state.probe_hist),
         )
         spilled = state.spilled + lost + jnp.sum(
             unres_end.astype(jnp.int32)
         )
-        out = TableState(
-            slots=slots, n=n, spilled=spilled, probe_hist=hist,
+        slots2d = self._renormed2d(slots2d)
+        return TableState(
+            slots=slots2d.reshape(-1), n=n, spilled=spilled,
+            probe_hist=hist,
         )
-        return self._renormed(out)
 
     def lookup(self, state: TableState, queries: jax.Array
                ) -> tuple[jax.Array, jax.Array]:
