@@ -135,8 +135,8 @@ def main() -> int:
     timed("claims sort (2 ops)",
           jax.jit(lambda c, i: jax.lax.sort((c, i), num_keys=2)), ckey, idx)
 
-    # one combined-row scatter round alone (r5: flat slice-scatter — the
-    # r4 [slots, C] row scatter; r3 three-array scatters were 901 ms)
+    # one combined-row 2-D scatter round alone (the r4 formulation the
+    # residue_phase still uses; r3 three-array scatters were 901 ms)
     cols = table.slot_cols
     row_vals = jnp.asarray(
         rng.integers(0, 3, size=(n, cols), dtype=np.uint32)
@@ -144,16 +144,28 @@ def main() -> int:
 
     def scatter_round(slots_flat, posx):
         safe = jnp.where(uvalid_d, posx, table.slots + idx)
-        res = table._scatter_add_rows(slots_flat, safe, row_vals)
-        return res[0]  # scalar: keep the fence off the big array
+        s2d = slots_flat.reshape(table.slots, cols)
+        res = s2d.at[safe].add(row_vals, mode="drop", unique_indices=True)
+        return res[0, 0]  # scalar: keep the fence off the big array
 
-    timed("scatter round (flat)", jax.jit(scatter_round), out.slots, pos)
+    timed("scatter round (2-D)", jax.jit(scatter_round), out.slots, pos)
 
-    # gather round alone (combined-row read at probe positions)
+    # gather round alone (combined-row read at probe positions, 2-D view)
     def gather_round(slots_flat, posx):
-        return jnp.sum(table._gather_rows(slots_flat, posx)[:, 0])
+        return jnp.sum(slots_flat.reshape(table.slots, cols)[posx][:, 0])
 
-    timed("gather round", jax.jit(gather_round), out.slots, pos)
+    timed("gather round (2-D)", jax.jit(gather_round), out.slots, pos)
+
+    # the r5 split flow, one full batch (sorted_round + kernel apply x2
+    # + residue_phase) with host width sync, as the counter drives it
+    from tests.test_table import _split_insert
+
+    def split_sorted():
+        return _split_insert(
+            table, st, ukeys_d, ucounts_d, uvalid_d, "kernel"
+        ).n
+
+    timed("insert split-sorted(kernel)", split_sorted, reps=args.reps)
 
     # insert with rows sliced to the unique prefix (half batch);
     # single-program insert only below the layout-hazard size
