@@ -133,3 +133,60 @@ def test_apply_wraps_cannot_fire_stress():
     got, over = _run(slots, dst2, val, tile=1024, u_win=2048)
     assert over == 0
     np.testing.assert_array_equal(got, _ref(slots, dst2, val))
+
+
+def test_gather_sorted_random():
+    from tsxcount_tpu.ops.pallas_apply import gather_sorted
+
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        total = 4096
+        slots = rng.integers(0, 2**31, size=total, dtype=np.uint32)
+        n_live = 1200
+        live = np.sort(
+            rng.choice(total, size=n_live, replace=False)
+        ).astype(np.int64)
+        dst2 = (live * 2 + 1).astype(np.int32)
+        dead = np.sort(rng.integers(0, total, size=500, dtype=np.int64))
+        dst2 = np.sort(np.concatenate(
+            [dst2, (dead * 2).astype(np.int32)]
+        ), kind="stable")
+        out, over = gather_sorted(
+            jnp.asarray(slots), jnp.asarray(dst2),
+            tile=1024, u_win=2048, interpret=True,
+        )
+        out = np.asarray(out)
+        assert int(over) == 0
+        want = np.where(
+            (dst2 & 1) == 1, slots[dst2 >> 1], 0
+        ).astype(np.uint32)
+        np.testing.assert_array_equal(out, want)
+
+
+def test_gather_sorted_edges_and_dense():
+    from tsxcount_tpu.ops.pallas_apply import gather_sorted
+
+    rng = np.random.default_rng(7)
+    total = 4096
+    slots = rng.integers(0, 2**31, size=total, dtype=np.uint32)
+    # dense: every element gathered
+    dst2 = (np.arange(total, dtype=np.int32) * 2 + 1)
+    out, over = gather_sorted(
+        jnp.asarray(slots), jnp.asarray(dst2),
+        tile=1024, u_win=2048, interpret=True,
+    )
+    assert int(over) == 0
+    np.testing.assert_array_equal(np.asarray(out), slots)
+    # tile-edge positions + BIG tail
+    live = np.array([0, 1023, 1024, 2047, 2048, 4095], np.int64)
+    dst2 = np.concatenate([
+        (live * 2 + 1).astype(np.int32),
+        np.full(100, 1 << 30, np.int32),
+    ])
+    out, _ = gather_sorted(
+        jnp.asarray(slots), jnp.asarray(dst2),
+        tile=1024, u_win=1024, interpret=True,
+    )
+    out = np.asarray(out)
+    np.testing.assert_array_equal(out[:6], slots[live])
+    assert (out[6:] == 0).all()

@@ -218,16 +218,11 @@ def _rand_batch(rng, n, n_u, spec):
 
 def _split_insert(table, st, k, c, v, mode):
     import jax
-    import jax.numpy as jnp
 
-    d0, v0, carry0, _, dn0, dres0 = table.sorted_round(
-        st, 0, *table.round0_args(k, c, v)
+    st, carry0, _ = table.split_round(
+        st, 0, *table.round0_args(k, c, v), mode=mode
     )
-    st = table.apply_round(st, 0, d0, v0, dn0, dres0, mode)
-    d1, v1, carry1, n_enter1, dn1, dres1 = table.sorted_round(
-        st, 1, *carry0
-    )
-    st = table.apply_round(st, 1, d1, v1, dn1, dres1, mode)
+    st, carry1, n_enter1 = table.split_round(st, 1, *carry0, mode=mode)
     f = int(jax.device_get(n_enter1))
     w2 = min(k.shape[0], max(256, 1 << (max(1, f) - 1).bit_length()))
     return table.residue_phase(st, tuple(x[:w2] for x in carry1), 2, w2)
@@ -251,7 +246,7 @@ def test_sorted_split_flow_matches_legacy():
     ukeys, ucounts, uvalid = _rand_batch(rng, n, n_u, spec)
     args = (jnp.asarray(ukeys), jnp.asarray(ucounts), jnp.asarray(uvalid))
     st_k = _split_insert(table, table.init_state(), *args, mode="kernel")
-    st_s = _split_insert(table, table.init_state(), *args, mode="scatter")
+    st_s = _split_insert(table, table.init_state(), *args, mode="element")
     st_l = table.insert(table.init_state(), *args)
     for st in (st_k, st_s):
         assert int(st.n) == n_u == int(st_l.n)

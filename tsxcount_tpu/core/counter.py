@@ -530,42 +530,32 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
     def _table_phase_jits(self, width: int):
         """Jits specialized to an insert width (cached).
 
-        sorted_rounds: the r5 split flow — two (sorted_round, apply_round)
-        program pairs for reprobe rounds 0 and 1 (round 0 resolves the
-        non-colliding majority; round 1's sort compacts the residue to a
-        prefix), then residue_phase at a host-chosen narrow width.  Each
-        program sticks to one view of the slot array (core/table.py
-        sorted-apply notes)."""
+        sorted_rounds: the r5 split flow — split_round programs for
+        reprobe rounds 0 and 1 (round 0 resolves the non-colliding
+        majority; round 1's sort compacts the residue to a prefix whose
+        size it reports), then residue_phase at a host-chosen narrow
+        width.  The hot programs never materialize a [slots, few] array
+        (core/table.py split-round notes)."""
         table = self.table
         jits = self._tphase_cache.get(width)
         if jits is None:
             if table.sorted_rounds:
                 mode = table.apply_mode_auto(width)
-
-                def _mk_r(r):
-                    if r == 0:
-                        return jax.jit(
-                            lambda st, k, c, v: table.sorted_round(
-                                st, 0, *table.round0_args(
-                                    k[:width], c[:width], v[:width]
-                                )
-                            )
-                        )
-                    return jax.jit(
-                        lambda st, p0, cl, c, a: table.sorted_round(
-                            st, r, p0, cl, c, a
-                        )
-                    )
-
-                def _mk_a(r):
-                    return jax.jit(
-                        lambda st, d, v, dn, dres: table.apply_round(
-                            st, r, d, v, dn, dres, mode
-                        ),
-                        donate_argnums=(0,),
-                    )
-
-                jits = (_mk_r(0), _mk_a(0), _mk_r(1), _mk_a(1))
+                j_r0 = jax.jit(
+                    lambda st, k, c, v: table.split_round(
+                        st, 0, *table.round0_args(
+                            k[:width], c[:width], v[:width]
+                        ), mode=mode,
+                    ),
+                    donate_argnums=(0,),
+                )
+                j_r1 = jax.jit(
+                    lambda st, p0, cl, c, a: table.split_round(
+                        st, 1, p0, cl, c, a, mode=mode,
+                    ),
+                    donate_argnums=(0,),
+                )
+                jits = (j_r0, j_r1)
             else:
                 ph1 = jax.jit(
                     lambda st, k, c, v: table.insert_phase1(
@@ -610,13 +600,9 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
                 break
         jits = self._table_phase_jits(width)
         if self.table.sorted_rounds:
-            j_r0, j_a0, j_r1, j_a1 = jits
-            d0, v0, carry0, _, dn0, dres0 = j_r0(
-                self.state, keys, counts, valid
-            )
-            st = j_a0(self.state, d0, v0, dn0, dres0)
-            d1, v1, carry1, n_enter1, dn1, dres1 = j_r1(st, *carry0)
-            st = j_a1(st, d1, v1, dn1, dres1)
+            j_r0, j_r1 = jits
+            st, carry0, _ = j_r0(self.state, keys, counts, valid)
+            st, carry1, n_enter1 = j_r1(st, *carry0)
             f = int(jax.device_get(n_enter1))
             w2 = min(width, max(256, 1 << (max(1, f) - 1).bit_length()))
             self.state = self._table_residue_jit(width, w2)(st, *carry1)

@@ -175,6 +175,36 @@ class QuotientTable:
             slots2d, _bitcast_u32(renorm_digits(digits)), (0, lanes)
         )
 
+    def _renorm_flat(self, slots_flat: jax.Array) -> jax.Array:
+        """Base-2^20 digit renormalization directly on the flat array.
+
+        Digit d_j of slot i lives at element i*C + lanes + j; carries
+        propagate d0 -> d1 -> d2 with two shift-by-one adds gated by
+        element-offset masks — pure elementwise work, no [slots, few]
+        array (the r3 overflow-chain analog, TSXHashMap.h:1501-1623).
+        """
+        cols = self.slot_cols
+        lanes = self.spec.lanes
+        total = slots_flat.shape[0]
+        off = jnp.arange(total, dtype=jnp.int32) % cols
+        is_d0 = off == lanes
+        is_d1 = off == lanes + 1
+        d = _bitcast_i32(slots_flat)
+        mask = jnp.int32(COUNT_DIGIT_MASK)
+
+        def carry_step(dd, is_src):
+            carry = jnp.where(is_src, dd >> COUNT_DIGIT_BITS, 0)
+            dd = jnp.where(is_src, dd & mask, dd)
+            shifted = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), carry[:-1]]
+            )
+            return dd + shifted
+
+        d = carry_step(d, is_d0)
+        d = carry_step(d, is_d1)
+        digit_pos = is_d0 | is_d1 | (off == lanes + 2)
+        return jnp.where(digit_pos, _bitcast_u32(d), slots_flat)
+
     def _hash_parts(self, ukeys: jax.Array) -> tuple[jax.Array, jax.Array]:
         """Returns (pos0 int32 [P], cleared hash lanes uint32 [P, lanes]).
 
@@ -255,41 +285,40 @@ class QuotientTable:
 
         return body
 
-    # --- sorted-apply rounds (r5) -------------------------------------------
+    # --- split flat rounds (r5) ---------------------------------------------
     #
-    # A full-width reprobe round is split into TWO single-form programs
-    # (VERDICT r4 #2; the forms must not mix — r5 measured XLA's flat
-    # slice gather/scatter at 16.6/21.5 s per 9.6M-row round, and a
-    # program mixing the 2-D row view with the flat kernel view
-    # materialized the (8,128)-padded [2^26, 5] layout, a 32 GiB copy):
+    # VERDICT r4 #2 rebuilt around hardware measurements (r5, one v5e):
+    #   * XLA row scatter on the [2^26, 5] view: 765 ms / 9.6M-row round;
+    #   * XLA flat slice gather/scatter (slice_sizes=(C,)): 16.6 / 21.5 s;
+    #   * ANY materialized [slots, few] array inside a program — a
+    #     reshape or layout copy — can get the (8,128)-tiled layout with
+    #     the minor dim padded to 128 (25x HBM, 32 GiB at l=26): three
+    #     sightings this round alone;
+    #   * the Pallas butterfly sweeps over the FLAT array: ~47 ms.
     #
-    #   * sorted_round (2-D view only): row-gather slot contents, stable-
-    #     sort rows by (pos<<2 | match<<1 | contender), arbitrate (winner
-    #     = LAST contender of its run, so each run's single live row is
-    #     its last element), and emit flat doubled element destinations +
-    #     combined add-rows for the apply.  Dead-but-active rows collapse
-    #     to one even destination (pos*C)<<1, keeping dst2 globally
-    #     non-decreasing no matter where the match row sits in its run.
-    #   * apply_round (flat only): the butterfly-distributor sweep
-    #     (ops/pallas_apply.py, 47 ms for 36M elements into 335M slots vs
-    #     765 ms for the r4 row scatter) plus the n/hist/spilled updates.
-    #
-    # The unresolved set stays in sorted order between rounds (no bool
-    # scatter back); round 1's sort pushes round-0-resolved rows to the
-    # tail, so after two split rounds the actives occupy a prefix bounded
-    # by round 1's entering count — the host reads that scalar and runs
-    # the remaining rounds at the narrowest pow2 width (residue_phase,
-    # the r4-style 2-D rounds, typically 8-40x narrower than the old
-    # static width/8).
+    # So the hot path never leaves the flat 1-D form.  split_round runs
+    # one full reprobe round as ONE program: stable sort by probed slot,
+    # sweep-GATHER of run-head slot rows (ops/pallas_apply.py
+    # gather_sorted) + an OR-scan fill-forward within runs, arbitration
+    # (winner = LAST contender of its run — arbitrary-but-deterministic,
+    # like the reference's "whoever wins the transaction",
+    # TSXHashMapCAS.h:268-508), and the sweep-APPLY of one combined add-
+    # row per resolved contender.  The unresolved set stays in sorted
+    # order (no bool scatter back); each round's sort pushes previously
+    # resolved rows to the tail, so after round 1 the actives occupy a
+    # prefix whose size round 1 reports — the host then finishes in
+    # residue_phase at the narrowest pow2 width with flat element
+    # gathers/scatters (fast at small widths).
 
-    def sorted_round(self, state: TableState, r: int, pos0, cleared,
-                     counts, active):
-        """One arbitration round at static reprobe index `r` (2-D form).
+    def split_round(self, state: TableState, r: int, pos0, cleared,
+                    counts, active, mode: str = "kernel"):
+        """One full-width reprobe round at static index `r` (flat form).
 
-        Does NOT touch state.slots — returns the flat update stream for
-        apply_round plus the permuted carry:
-        (dst2, vals, carry=(pos0_s, cleared_s, counts_s, active_next),
-         n_enter, d_n, d_resolved).
+        Returns (state', carry=(pos0_s, cleared_s, counts_s,
+        active_next), n_enter) with row arrays permuted by this round's
+        slot sort.  mode: "kernel" (Pallas sweeps; interpret off-TPU) or
+        "element" (flat element gather/scatter — small widths, and the
+        shard_map path where the sweep grid is untested).
         """
         s = self.slots
         lanes = self.spec.lanes
@@ -297,145 +326,225 @@ class QuotientTable:
         width = pos0.shape[0]
         inactive = jnp.uint32(0xFFFFFFFF)
         pos = (pos0 + _triangular(jnp.int32(r))) % s
-        ru = jnp.uint32(r)
-        slotkey0 = cleared[:, 0] | ru
-        slots2d = state.slots.reshape(s, cols)
-        g = slots2d[pos]
-        used_g = g[:, -1] != 0
-        key_eq = g[:, 0] == slotkey0
-        for j in range(1, lanes):
-            key_eq = key_eq & (g[:, j] == cleared[:, j])
-        match = active & used_g & key_eq
-        contend = active & ~used_g
-        ckey = jnp.where(
-            active,
-            (pos.astype(jnp.uint32) << 2)
-            | (match.astype(jnp.uint32) << 1)
-            | contend.astype(jnp.uint32),
-            inactive,
-        )
-        posm = pos0 | (match.astype(jnp.int32) << 30)
-        ops = (ckey, posm, counts) + tuple(
+        ckey = jnp.where(active, pos.astype(jnp.uint32), inactive)
+        ops = (ckey, pos0, counts) + tuple(
             cleared[:, j] for j in range(lanes)
         )
         sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
-        ckey_s, posm_s, counts_s = sorted_ops[:3]
+        ckey_s, pos0_s, counts_s = sorted_ops[:3]
         cleared_s = jnp.stack(sorted_ops[3:], axis=1)
         active_s = ckey_s != inactive
-        match_s = ((posm_s >> 30) & 1) == 1
-        pos0_s = posm_s & ((1 << 30) - 1)
-        # the inactive sentinel has both flag bits set — gate on active_s
-        contend_s = active_s & ((ckey_s & 1) == 1)
-        pos_s = (ckey_s >> 2).astype(jnp.int32)
-        run_end = jnp.concatenate([
-            (ckey_s[1:] >> 2) != (ckey_s[:-1] >> 2),
-            jnp.ones((1,), jnp.bool_),
-        ])
+        pos_s = ckey_s.astype(jnp.int32)
+        boundary = ckey_s[1:] != ckey_s[:-1]
+        run_start = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), boundary]
+        )
+        run_end = jnp.concatenate(
+            [boundary, jnp.ones((1,), jnp.bool_)]
+        )
+        base = jnp.where(active_s, pos_s, 0) * cols
+        ec = jnp.arange(cols, dtype=jnp.int32)
+        head_live = active_s & run_start
+
+        # --- slot contents for every row: gather heads, fill forward ---
+        if mode == "kernel":
+            from tsxcount_tpu.ops.pallas_apply import gather_sorted
+
+            dst2g = jnp.where(
+                active_s[:, None],
+                jnp.where(
+                    head_live[:, None],
+                    ((base[:, None] + ec[None, :]) << 1) | 1,
+                    # non-head rows: one even value past the head row's
+                    # last element, before the next run's first
+                    ((base + cols) << 1)[:, None] + (ec[None, :] * 0),
+                ),
+                jnp.int32(1 << 30),
+            ).reshape(width * cols)
+            g_flat, over_g = gather_sorted(
+                state.slots, dst2g, u_win=self._sweep_win(width),
+                interpret=jax.default_backend() != "tpu",
+            )
+            g = g_flat.reshape(width, cols)
+        else:
+            idxe = jnp.where(
+                head_live[:, None],
+                base[:, None] + ec[None, :],
+                s * cols,  # clipped read of a junk element, masked below
+            ).reshape(width * cols)
+            g = jnp.take(
+                state.slots, idxe, mode="clip"
+            ).reshape(width, cols)
+            g = jnp.where(head_live[:, None], g, jnp.uint32(0))
+            over_g = jnp.zeros((), jnp.int32)
+
+        def fill_forward(col):
+            # runs are contiguous and only the head row is nonzero, so a
+            # boundary-blocked OR-scan broadcasts the head value down
+            x, f = col, run_start
+            d = 1
+            while d < width:
+                x_s = jnp.concatenate(
+                    [jnp.zeros((d,), x.dtype), x[:-d]]
+                )
+                f_s = jnp.concatenate(
+                    [jnp.ones((d,), jnp.bool_), f[:-d]]
+                )
+                x = x | jnp.where(f, jnp.zeros((), x.dtype), x_s)
+                f = f | f_s
+                d *= 2
+            return x
+
+        used_s = fill_forward(g[:, cols - 1]) != 0
+        ru = jnp.uint32(r)
+        slotkey0_s = cleared_s[:, 0] | ru
+        key_eq = fill_forward(g[:, 0]) == slotkey0_s
+        for j in range(1, lanes):
+            key_eq = key_eq & (fill_forward(g[:, j]) == cleared_s[:, j])
+        match_s = active_s & used_s & key_eq
+        contend_s = active_s & ~used_s
         winner = contend_s & run_end
         resolved = match_s | winner
-        slotkey_s = cleared_s.at[:, 0].set(cleared_s[:, 0] | ru)
+
+        # --- one combined add-row per resolved contender ---
+        slotkey_s = cleared_s.at[:, 0].set(slotkey0_s)
         digits_s = int32_to_digits(counts_s)
         vals = jnp.concatenate([
             jnp.where(winner[:, None], slotkey_s, jnp.uint32(0)),
             _bitcast_u32(digits_s),
             winner.astype(jnp.uint32)[:, None],
         ], axis=1).reshape(width * cols)
-        base = pos_s * cols
-        ec = jnp.arange(cols, dtype=jnp.int32)
-        dst2 = jnp.where(
-            active_s[:, None],
-            jnp.where(
-                resolved[:, None],
-                ((base[:, None] + ec[None, :]) << 1) | 1,
-                # dead-but-active rows: all C elements collapse to the
-                # run's first even value — sorted regardless of where
-                # the live row sits in its run, never applied
-                (base << 1)[:, None] + (ec[None, :] * 0),
-            ),
-            jnp.int32(1 << 30),
-        ).reshape(width * cols)
-        carry = (pos0_s, cleared_s, counts_s, active_s & ~resolved)
-        return (
-            dst2, vals, carry,
-            jnp.sum(active.astype(jnp.int32)),
-            jnp.sum(winner.astype(jnp.int32)),
-            jnp.sum(resolved.astype(jnp.int32)),
-        )
-
-    def apply_round(self, state: TableState, r: int, dst2, vals,
-                    d_n, d_resolved, mode: str = "kernel") -> TableState:
-        """Apply one round's update stream + bookkeeping (flat form)."""
         if mode == "kernel":
             from tsxcount_tpu.ops.pallas_apply import apply_sorted_unique
 
-            total = state.slots.shape[0]
-            t_tiles = max(1, total // min(total, 1 << 17))
-            mean = dst2.shape[0] // t_tiles
-            u_win = 1024
-            while u_win < 4 * mean + 2048:
-                u_win *= 2
-            slots, overflow = apply_sorted_unique(
-                state.slots, dst2, vals, u_win=u_win,
+            dst2a = jnp.where(
+                active_s[:, None],
+                jnp.where(
+                    resolved[:, None],
+                    ((base[:, None] + ec[None, :]) << 1) | 1,
+                    # dead rows collapse to the run's first even value —
+                    # sorted regardless of where the live row sits
+                    (base << 1)[:, None] + (ec[None, :] * 0),
+                ),
+                jnp.int32(1 << 30),
+            ).reshape(width * cols)
+            slots, over_a = apply_sorted_unique(
+                state.slots, dst2a, vals,
+                u_win=self._sweep_win(width),
                 interpret=jax.default_backend() != "tpu",
             )
         else:
-            # 2-D row scatter from the sorted stream (small widths, CPU)
-            cols = self.slot_cols
-            width = dst2.shape[0] // cols
-            d0 = dst2.reshape(width, cols)[:, 0]
-            live = (d0 & 1) == 1
             safe = jnp.where(
-                live, (d0 >> 1) // cols,
-                self.slots + jnp.arange(width, dtype=jnp.int32),
+                resolved, pos_s,
+                s + jnp.arange(width, dtype=jnp.int32),
             )
-            slots2d = state.slots.reshape(self.slots, cols)
-            slots2d = slots2d.at[safe].add(
-                vals.reshape(width, cols), mode="drop",
-                unique_indices=True,
+            eidx = (safe[:, None] * cols + ec[None, :]).reshape(-1)
+            slots = state.slots.at[eidx].add(
+                vals, mode="drop", unique_indices=True
             )
-            slots = slots2d.reshape(-1)
-            overflow = jnp.zeros((), jnp.int32)
+            over_a = jnp.zeros((), jnp.int32)
+
         hist = jax.lax.dynamic_update_index_in_dim(
-            state.probe_hist, state.probe_hist[r] + d_resolved, r, axis=0
+            state.probe_hist,
+            state.probe_hist[r] + jnp.sum(resolved.astype(jnp.int32)),
+            r, axis=0,
         )
-        return TableState(
-            slots=slots, n=state.n + d_n,
-            spilled=state.spilled + overflow, probe_hist=hist,
+        new_state = TableState(
+            slots=slots,
+            n=state.n + jnp.sum(winner.astype(jnp.int32)),
+            # a window overflow would have read a zero slot row (a silent
+            # false-empty): count it as spill so finish() raises loudly
+            spilled=state.spilled + over_g + over_a,
+            probe_hist=hist,
         )
+        carry = (pos0_s, cleared_s, counts_s, active_s & ~resolved)
+        return new_state, carry, jnp.sum(active.astype(jnp.int32))
+
+    def _sweep_win(self, width: int) -> int:
+        """pow2 update-window elements for the sweep kernels: >= 4x the
+        mean per-tile run (hash-uniform -> overflow probability ~0)."""
+        total = self.slots * self.slot_cols
+        t_tiles = max(1, total // min(total, 1 << 17))
+        mean = width * self.slot_cols // t_tiles
+        u_win = 1024
+        while u_win < 4 * mean + 2048:
+            u_win *= 2
+        return u_win
 
     def residue_phase(self, state: TableState, carry, r_start: int,
                       width2: int) -> TableState:
         """Finish an insert from the sorted carry at a narrow static
-        width (r4-style 2-D rounds + renorm).  Rows active beyond the
-        slice are counted spilled — impossible when width2 covers round
-        r_start's entering actives (the host sizes it from the reported
-        scalar)."""
-        pos0, cleared, counts, active = carry
+        width (flat element gathers/scatters — fast at small widths) and
+        renormalize.  Rows active beyond the slice are counted spilled —
+        impossible when width2 covers round r_start-1's reported
+        entering-actives."""
+        s = self.slots
+        lanes = self.spec.lanes
+        cols = self.slot_cols
+        pos0_f, cleared_f, counts_f, active_f = carry
         lost = (
-            jnp.sum(active.astype(jnp.int32))
-            - jnp.sum(active[:width2].astype(jnp.int32))
+            jnp.sum(active_f.astype(jnp.int32))
+            - jnp.sum(active_f[:width2].astype(jnp.int32))
         )
-        body = self._round_body(
-            pos0[:width2], cleared[:width2],
-            int32_to_digits(counts[:width2]),
-        )
+        pos0 = pos0_f[:width2]
+        cleared = cleared_f[:width2]
+        counts = counts_f[:width2]
+        add_u32 = _bitcast_u32(int32_to_digits(counts))
+        idx_arr = jnp.arange(width2, dtype=jnp.int32)
+        ec = jnp.arange(cols, dtype=jnp.int32)
 
-        def cond(c):
-            r, unresolved, *_ = c
+        def body(carry2):
+            r, unresolved, slots, n, hist = carry2
+            pos = (pos0 + _triangular(r)) % s
+            slotkey = cleared.at[:, 0].set(
+                cleared[:, 0] | r.astype(jnp.uint32)
+            )
+            eidx = (pos[:, None] * cols + ec[None, :]).reshape(-1)
+            g = jnp.take(slots, eidx, mode="clip").reshape(width2, cols)
+            used_g = g[:, -1] != 0
+            match = unresolved & used_g & keys_equal(
+                g[:, :lanes], slotkey
+            )
+            empty = unresolved & ~used_g
+            ckey = jnp.where(empty, pos, s).astype(jnp.uint32)
+            ckey_s, idx_s = jax.lax.sort((ckey, idx_arr), num_keys=2)
+            first = jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), ckey_s[1:] != ckey_s[:-1]]
+            )
+            win_s = first & (ckey_s < s)
+            winner = jnp.zeros((width2,), jnp.bool_).at[idx_s].set(
+                win_s, unique_indices=True
+            )
+            upd = match | winner
+            row = jnp.concatenate([
+                jnp.where(winner[:, None], slotkey, jnp.uint32(0)),
+                add_u32,
+                winner.astype(jnp.uint32)[:, None],
+            ], axis=1)
+            safe = jnp.where(upd, pos, s + idx_arr)
+            slots = slots.at[
+                (safe[:, None] * cols + ec[None, :]).reshape(-1)
+            ].add(row.reshape(-1), mode="drop", unique_indices=True)
+            n = n + jnp.sum(winner.astype(jnp.int32))
+            hist = jax.lax.dynamic_update_index_in_dim(
+                hist, hist[r] + jnp.sum(upd.astype(jnp.int32)), r, axis=0
+            )
+            return r + 1, unresolved & ~upd, slots, n, hist
+
+        def cond(carry2):
+            r, unresolved, *_ = carry2
             return (r < self.max_reprobes) & jnp.any(unresolved)
 
-        slots2d = state.slots.reshape(self.slots, self.slot_cols)
-        r, unresolved, slots2d, n, hist = jax.lax.while_loop(
+        r, unresolved, slots, n, hist = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(r_start), active[:width2], slots2d, state.n,
-             state.probe_hist),
+            (jnp.int32(r_start), active_f[:width2], state.slots,
+             state.n, state.probe_hist),
         )
         spilled = (
             state.spilled + lost + jnp.sum(unresolved.astype(jnp.int32))
         )
-        slots2d = self._renormed2d(slots2d)
         return TableState(
-            slots=slots2d.reshape(-1), n=n, spilled=spilled,
+            slots=self._renorm_flat(slots), n=n, spilled=spilled,
             probe_hist=hist,
         )
 
@@ -445,9 +554,9 @@ class QuotientTable:
         return pos0, cleared, ucounts.astype(jnp.int32), uvalid
 
     def apply_mode_auto(self, width: int) -> str:
-        """kernel sweep when the round width justifies a full-table pass
-        (measured r5: the sweep is ~47 ms at l=26 k=14 while the 2-D row
-        scatter costs ~80 ns/row), else the 2-D row scatter."""
+        """Sweep kernels when the round width justifies full-table
+        passes (measured r5: a sweep is ~47 ms at l=26 k=14 while XLA
+        element scatter costs ~80 ns/element), else flat element ops."""
         total = self.slots * self.slot_cols
         if (
             jax.default_backend() == "tpu"
@@ -456,7 +565,7 @@ class QuotientTable:
             and width * self.slot_cols >= (1 << 22)
         ):
             return "kernel"
-        return "scatter"
+        return "element"
 
     def insert(self, state: TableState, ukeys: jax.Array, ucounts: jax.Array,
                uvalid: jax.Array) -> TableState:

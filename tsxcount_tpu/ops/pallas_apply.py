@@ -241,3 +241,171 @@ def apply_sorted_unique(slots_flat: jax.Array, dst2: jax.Array,
         slots_flat.reshape(-1, LANES),
     )
     return out.reshape(total), overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "u_win", "interpret")
+)
+def gather_sorted(slots_flat: jax.Array, dst2: jax.Array,
+                  tile: int = 1 << 17, u_win: int = 1 << 15,
+                  interpret: bool = False) -> jax.Array:
+    """out[e] = slots_flat[dst2[e] >> 1] for every odd dst2[e], else 0.
+
+    The monotone-gather mirror of apply_sorted_unique: grid over slot
+    tiles; each tile compacts its live window destinations to dense
+    ranks, spreads rank marks into the tile to build the wanted-element
+    mask, compacts the slot elements by that mask (aligned with ranks by
+    monotonicity), and spreads the values back to their window positions,
+    read-modify-writing the ALIGN-aligned output window (sequential grid
+    makes the overlap with neighbor windows safe).  Same dst2 contract as
+    apply_sorted_unique, plus: live (odd) destinations must be strictly
+    increasing GLOBALLY (one gather element per slot element — callers
+    gather run heads and fill forward).  Window overflow elements return
+    0 AND are counted in the returned overflow scalar — a zero row would
+    silently read as an empty slot, so callers must fail loudly on it
+    (with hash-uniform destinations and u_win >= 4x the mean run it
+    never fires).  Returns (values [UE], overflow int32).
+    """
+    total = slots_flat.shape[0]
+    while tile > ALIGN and total % tile:
+        tile //= 2
+    if total % tile or tile % ALIGN:
+        raise ValueError(f"no valid tile divides {total}")
+    t_tiles = total // tile
+    ue = dst2.shape[0]
+    tile_rows = tile // LANES
+    win_rows = u_win // LANES
+
+    bounds = jnp.arange(t_tiles + 1, dtype=jnp.int32) * (2 * tile)
+    edges = jnp.searchsorted(dst2, bounds, side="left").astype(jnp.int32)
+    u_start = edges[:-1]
+    u_end = edges[1:]
+    u_al = (u_start // ALIGN) * ALIGN
+    lo = u_start - u_al
+    hi_raw = u_end - u_al
+    overflow = jnp.sum(jnp.maximum(hi_raw - u_win, 0))
+    hi = jnp.minimum(hi_raw, u_win)
+
+    pad = u_win + ALIGN
+    dst2_p = jnp.concatenate(
+        [dst2, jnp.full((pad,), BIG, jnp.int32)]
+    )
+    pad_len = ((dst2_p.shape[0] + LANES - 1) // LANES) * LANES
+    dst2_p = jnp.concatenate(
+        [dst2_p, jnp.full((pad_len - dst2_p.shape[0],), BIG, jnp.int32)]
+    )
+    out_len = pad_len
+
+    def kernel(u_al_ref, lo_ref, hi_ref, dst_ref, slot_ref, out_ref,
+               dst_s, out_s, sems):
+        t = pl.program_id(0)
+        ar = u_al_ref[t] // LANES
+        d_in = pltpu.make_async_copy(
+            dst_ref.at[pl.ds(ar, win_rows), :], dst_s, sems.at[0]
+        )
+        d_in.start()
+        d_in.wait()
+
+        wpos = (
+            jax.lax.broadcasted_iota(jnp.int32, (win_rows, LANES), 0)
+            * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (win_rows, LANES), 1)
+        )
+        dstw = dst_s[:]
+        in_run = (wpos >= lo_ref[t]) & (wpos < hi_ref[t])
+        alive = jnp.where(in_run & ((dstw & 1) == 1), 1, 0)
+        ld = (dstw >> 1) - t * tile
+        # dense ranks: (ld, wpos) compacted by aliveness
+        comp = _butterfly_compact_tile(
+            alive, [jnp.where(alive != 0, ld, 0),
+                    jnp.where(alive != 0, wpos, 0)], win_rows
+        )
+        n_alive = jnp.sum(alive)
+        rankpos = wpos
+        ralive = jnp.where(rankpos < n_alive, 1, 0)
+        cld, cwpos = comp[0], comp[1]
+        # spread rank marks into the slot tile: landed = wanted elements
+        if win_rows < tile_rows:
+            padr = tile_rows - win_rows
+
+            def up(x):
+                return jnp.concatenate(
+                    [x, jnp.zeros((padr, LANES), x.dtype)], axis=0
+                )
+
+            cld_t, ralive_t = up(cld), up(ralive)
+            rp_t = up(rankpos)
+        else:
+            cld_t = jax.lax.slice_in_dim(cld, 0, tile_rows, axis=0)
+            ralive_t = jax.lax.slice_in_dim(ralive, 0, tile_rows, axis=0)
+            rp_t = jax.lax.slice_in_dim(rankpos, 0, tile_rows, axis=0)
+        shift_t = jnp.where(ralive_t != 0, cld_t - rp_t, 0)
+        spread_marks, landed = _butterfly_spread_tile(
+            [ralive_t], shift_t, ralive_t, tile_rows
+        )
+        want = jnp.where(landed != 0, 1, 0)
+        # values at wanted elements, dense in rank order
+        vals_dense = _butterfly_compact_tile(
+            want, [slot_ref[:]], tile_rows
+        )[0]
+        # route values back to window positions of their ranks
+        if win_rows < tile_rows:
+            vals_w = jax.lax.slice_in_dim(
+                vals_dense, 0, win_rows, axis=0
+            )
+        else:
+            vals_w = jnp.concatenate([
+                vals_dense,
+                jnp.zeros((win_rows - tile_rows, LANES), jnp.uint32),
+            ], axis=0)
+        shift_w = jnp.where(ralive != 0, cwpos - rankpos, 0)
+        ral_w = ralive
+        spread_vals, landed_w = _butterfly_spread_tile(
+            [vals_w], shift_w, ral_w, win_rows
+        )
+        mine = (wpos >= lo_ref[t]) & (wpos < hi_ref[t])
+        merged = jnp.where(
+            (landed_w != 0) & mine, spread_vals[0], jnp.uint32(0)
+        )
+        # RMW the output window (keep neighbors' slop)
+        o_in = pltpu.make_async_copy(
+            out_ref.at[pl.ds(ar, win_rows), :], out_s, sems.at[1]
+        )
+        o_in.start()
+        o_in.wait()
+        out_s[:] = jnp.where(mine, merged, out_s[:])
+        o_out = pltpu.make_async_copy(
+            out_s, out_ref.at[pl.ds(ar, win_rows), :], sems.at[1]
+        )
+        o_out.start()
+        o_out.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # dst windows
+            pl.BlockSpec((tile_rows, LANES), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),  # slot block
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows, LANES), jnp.int32),
+            pltpu.VMEM((win_rows, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_len // LANES, LANES),
+                                       jnp.uint32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        u_al, lo, hi,
+        dst2_p.reshape(-1, LANES),
+        slots_flat.reshape(-1, LANES),
+    )
+    return out.reshape(out_len)[:ue], overflow
