@@ -353,6 +353,8 @@ def gather_sorted(slots_flat: jax.Array, dst2: jax.Array,
             vals_w = jax.lax.slice_in_dim(
                 vals_dense, 0, win_rows, axis=0
             )
+        elif win_rows == tile_rows:
+            vals_w = vals_dense
         else:
             vals_w = jnp.concatenate([
                 vals_dense,
