@@ -219,13 +219,21 @@ def _rand_batch(rng, n, n_u, spec):
 def _split_insert(table, st, k, c, v, mode):
     import jax
 
-    st, carry0, _ = table.split_round(
+    st, carry, _, n_left = table.split_round(
         st, 0, *table.round0_args(k, c, v), mode=mode
     )
-    st, carry1, n_enter1 = table.split_round(st, 1, *carry0, mode=mode)
-    f = int(jax.device_get(n_enter1))
-    w2 = min(k.shape[0], max(256, 1 << (max(1, f) - 1).bit_length()))
-    return table.residue_phase(st, tuple(x[:w2] for x in carry1), 2, w2)
+    f = int(jax.device_get(n_left))
+    if f == 0:
+        return st._replace(slots=table._renorm_flat(st.slots))
+    w1 = min(k.shape[0], max(256, 1 << (f - 1).bit_length()))
+    st, carry, _, n_left = table.split_round(
+        st, 1, *(x[:w1] for x in carry), mode=mode
+    )
+    f = int(jax.device_get(n_left))
+    if f == 0:
+        return st._replace(slots=table._renorm_flat(st.slots))
+    w2 = min(w1, max(256, 1 << (f - 1).bit_length()))
+    return table.residue_phase(st, tuple(x[:w2] for x in carry), 2, w2)
 
 
 def test_sorted_split_flow_matches_legacy():

@@ -467,7 +467,6 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
         else:
             self._step = jax.jit(self._make_step())
             self._tphase_cache = {}
-            self._tph2_cache = {}
 
     def _adapt_read_len(self, read_lens) -> None:
         """One-shot auto-sizing of the interval budget from the first few
@@ -527,67 +526,83 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
 
         return dedupe_t
 
-    def _table_phase_jits(self, width: int):
-        """Jits specialized to an insert width (cached).
+    _TABLE_RESIDUE_ELEMS = 1 << 18  # w*C below this: one while_loop tail
 
-        sorted_rounds: the r5 split flow — split_round programs for
-        reprobe rounds 0 and 1 (round 0 resolves the non-colliding
-        majority; round 1's sort compacts the residue to a prefix whose
-        size it reports), then residue_phase at a host-chosen narrow
-        width.  The hot programs never materialize a [slots, few] array
-        (core/table.py split-round notes)."""
-        table = self.table
-        jits = self._tphase_cache.get(width)
-        if jits is None:
-            if table.sorted_rounds:
-                mode = table.apply_mode_auto(width)
-                j_r0 = jax.jit(
-                    lambda st, k, c, v: table.split_round(
+    def _table_round_jit(self, r: int, width: int):
+        """split_round jit at static (reprobe index, width) — cached.
+
+        The host drives rounds at SHRINKING widths: after round r the
+        actives sit in a prefix whose size round r reports, so round r+1
+        slices the carry to the next pow2 bucket.  Full-width rounds use
+        the Pallas sweeps; narrow ones flat element ops
+        (table.apply_mode_auto)."""
+        key = ("round", r, width)
+        jit = self._tphase_cache.get(key)
+        if jit is None:
+            table = self.table
+            mode = table.apply_mode_auto(width)
+            if r == 0:
+                def f(st, k, c, v):
+                    return table.split_round(
                         st, 0, *table.round0_args(
                             k[:width], c[:width], v[:width]
                         ), mode=mode,
-                    ),
-                    donate_argnums=(0,),
-                )
-                j_r1 = jax.jit(
-                    lambda st, p0, cl, c, a: table.split_round(
-                        st, 1, p0, cl, c, a, mode=mode,
-                    ),
-                    donate_argnums=(0,),
-                )
-                jits = (j_r0, j_r1)
+                    )
             else:
-                ph1 = jax.jit(
-                    lambda st, k, c, v: table.insert_phase1(
-                        st, k[:width], c[:width], v[:width]
-                    ),
-                    donate_argnums=(0,),
-                )
-                ph2 = jax.jit(
-                    lambda st, k, c, u, r: table.insert_phase2(
-                        st, k[:width], c[:width], u, r
-                    ),
-                    donate_argnums=(0,),
-                )
-                jits = (ph1, ph2)
-            self._tphase_cache[width] = jits
-        return jits
+                def f(st, p0, cl, c, a):
+                    return table.split_round(
+                        st, r, p0[:width], cl[:width], c[:width],
+                        a[:width], mode=mode,
+                    )
+            jit = self._tphase_cache[key] = jax.jit(
+                f, donate_argnums=(0,)
+            )
+        return jit
 
-    def _table_residue_jit(self, width: int, width2: int):
-        """residue_phase jit at a host-chosen narrow width (was a static
-        width/8 before r5; round 1 reports the exact residue front, so
-        the remaining rounds run in the smallest pow2 bucket that holds
-        it — typically 8-40x narrower)."""
-        jit = self._tph2_cache.get((width, width2))
+    def _table_tail_jit(self, r_start: int, width: int):
+        """residue_phase jit (while_loop to completion + renorm)."""
+        key = ("tail", r_start, width)
+        jit = self._tphase_cache.get(key)
         if jit is None:
             table = self.table
-            jit = self._tph2_cache[(width, width2)] = jax.jit(
+            jit = self._tphase_cache[key] = jax.jit(
                 lambda st, p0, cl, c, a: table.residue_phase(
-                    st, (p0, cl, c, a), 2, width2
+                    st, (p0, cl, c, a), r_start, width
                 ),
                 donate_argnums=(0,),
             )
         return jit
+
+    def _table_renorm_jit(self):
+        jit = self._tphase_cache.get("renorm")
+        if jit is None:
+            table = self.table
+            jit = self._tphase_cache["renorm"] = jax.jit(
+                lambda st: st._replace(
+                    slots=table._renorm_flat(st.slots)
+                ),
+                donate_argnums=(0,),
+            )
+        return jit
+
+    def _table_legacy_jits(self, width: int):
+        table = self.table
+        jits = self._tphase_cache.get(width)
+        if jits is None:
+            ph1 = jax.jit(
+                lambda st, k, c, v: table.insert_phase1(
+                    st, k[:width], c[:width], v[:width]
+                ),
+                donate_argnums=(0,),
+            )
+            ph2 = jax.jit(
+                lambda st, k, c, u, r: table.insert_phase2(
+                    st, k[:width], c[:width], u, r
+                ),
+                donate_argnums=(0,),
+            )
+            jits = self._tphase_cache[width] = (ph1, ph2)
+        return jits
 
     def _table_step(self, buf) -> None:
         keys, counts, valid, nu = self._step(buf)
@@ -598,18 +613,29 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
             if 256 <= w and n <= w:
                 width = w
                 break
-        jits = self._table_phase_jits(width)
-        if self.table.sorted_rounds:
-            j_r0, j_r1 = jits
-            st, carry0, _ = j_r0(self.state, keys, counts, valid)
-            st, carry1, n_enter1 = j_r1(st, *carry0)
-            f = int(jax.device_get(n_enter1))
-            w2 = min(width, max(256, 1 << (max(1, f) - 1).bit_length()))
-            self.state = self._table_residue_jit(width, w2)(st, *carry1)
-        else:
-            ph1, ph2 = jits
+        if not self.table.sorted_rounds:
+            ph1, ph2 = self._table_legacy_jits(width)
             mid, r1, unresolved = ph1(self.state, keys, counts, valid)
             self.state = ph2(mid, keys, counts, unresolved, r1)
+            return
+        cols = self.table.slot_cols
+        st, carry, _, n_left = self._table_round_jit(0, width)(
+            self.state, keys, counts, valid
+        )
+        r = 1
+        while True:
+            f = int(jax.device_get(n_left))
+            if f == 0:
+                self.state = self._table_renorm_jit()(st)
+                return
+            w = min(width, max(256, 1 << (f - 1).bit_length()))
+            if w * cols <= self._TABLE_RESIDUE_ELEMS or r >= 6:
+                self.state = self._table_tail_jit(r, w)(st, *carry)
+                return
+            st, carry, _, n_left = self._table_round_jit(r, w)(
+                st, *carry
+            )
+            r += 1
 
     def _flush_pending(self) -> None:
         """Fold pending batch histograms into the store (sort backend)."""

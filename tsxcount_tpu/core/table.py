@@ -315,10 +315,13 @@ class QuotientTable:
         """One full-width reprobe round at static index `r` (flat form).
 
         Returns (state', carry=(pos0_s, cleared_s, counts_s,
-        active_next), n_enter) with row arrays permuted by this round's
-        slot sort.  mode: "kernel" (Pallas sweeps; interpret off-TPU) or
-        "element" (flat element gather/scatter — small widths, and the
-        shard_map path where the sweep grid is untested).
+        active_next), n_enter, n_left) with row arrays permuted by this
+        round's slot sort; the actives all sit in the first n_enter
+        positions (this round's sort pushed earlier-resolved rows to the
+        tail), and n_left of them remain active — the host slices the
+        next round's width from it.  mode: "kernel" (Pallas sweeps;
+        interpret off-TPU) or "element" (flat element gather/scatter —
+        small widths).
         """
         s = self.slots
         lanes = self.spec.lanes
@@ -457,8 +460,35 @@ class QuotientTable:
             spilled=state.spilled + over_g + over_a,
             probe_hist=hist,
         )
-        carry = (pos0_s, cleared_s, counts_s, active_s & ~resolved)
-        return new_state, carry, jnp.sum(active.astype(jnp.int32))
+        active_next = active_s & ~resolved
+        n_left = jnp.sum(active_next.astype(jnp.int32))
+        # compact the surviving rows to an exact prefix so the host can
+        # slice the next round's width to the pow2 bucket of n_left
+        carry_cols = (pos0_s, counts_s) + tuple(
+            cleared_s[:, j] for j in range(lanes)
+        )
+        if mode == "kernel" and width % 1024 == 0:
+            from tsxcount_tpu.ops.pallas_compact import compact_flagged
+
+            comp = compact_flagged(
+                active_next.astype(jnp.int32), carry_cols,
+                interpret=jax.default_backend() != "tpu",
+            )
+            comp = [c[:width] for c in comp]
+        else:
+            ckey2 = jnp.where(
+                active_next, jnp.arange(width, dtype=jnp.int32), width
+            )
+            out = jax.lax.sort(
+                (ckey2,) + carry_cols, num_keys=1, is_stable=True
+            )
+            comp = list(out[1:])
+        active_c = jnp.arange(width, dtype=jnp.int32) < n_left
+        carry = (
+            comp[0], jnp.stack(comp[2:], axis=1), comp[1], active_c,
+        )
+        return (new_state, carry, jnp.sum(active.astype(jnp.int32)),
+                n_left)
 
     def _sweep_win(self, width: int) -> int:
         """pow2 update-window elements for the sweep kernels: >= 4x the
@@ -562,7 +592,7 @@ class QuotientTable:
             jax.default_backend() == "tpu"
             and self.sorted_rounds
             and total % 1024 == 0
-            and width * self.slot_cols >= (1 << 22)
+            and width * self.slot_cols >= (1 << 19)
         ):
             return "kernel"
         return "element"
