@@ -158,15 +158,10 @@ def test_two_level_residue_schedule_exact():
     ucounts = np.zeros(p, np.int32)
     ucounts[:n_k] = rng.integers(1, 9, size=n_k)
     uvalid = np.arange(p) < n_k
-    state = table.init_state()
-    mid, r1, unres = jax.jit(
-        lambda st, k_, c, v: table.insert_phase1(st, k_, c, v,
-                                                 residue_frac=16)
-    )(state, jnp.asarray(ukeys), jnp.asarray(ucounts), jnp.asarray(uvalid))
-    state = jax.jit(
-        lambda st, k_, c, u, r: table.insert_phase2(st, k_, c, u, r,
-                                                    residue_frac=16)
-    )(mid, jnp.asarray(ukeys), jnp.asarray(ucounts), unres, r1)
+    state = jax.jit(table.insert)(
+        table.init_state(), jnp.asarray(ukeys), jnp.asarray(ucounts),
+        jnp.asarray(uvalid),
+    )
     assert int(jax.device_get(state.spilled)) == 0
     assert int(jax.device_get(state.n)) == n_k
     digits, found = jax.jit(table.lookup)(state, jnp.asarray(ukeys[:n_k]))
@@ -216,6 +211,11 @@ def _rand_batch(rng, n, n_u, spec):
     return ukeys, ucounts, uvalid
 
 
+def _slice_carry(carry, w):
+    p0, cl, c, a = carry
+    return p0[:w], tuple(x[:w] for x in cl), c[:w], a[:w]
+
+
 def _split_insert(table, st, k, c, v, mode):
     import jax
 
@@ -227,13 +227,13 @@ def _split_insert(table, st, k, c, v, mode):
         return st._replace(slots=table._renorm_flat(st.slots))
     w1 = min(k.shape[0], max(256, 1 << (f - 1).bit_length()))
     st, carry, _, n_left = table.split_round(
-        st, 1, *(x[:w1] for x in carry), mode=mode
+        st, 1, *_slice_carry(carry, w1), mode=mode
     )
     f = int(jax.device_get(n_left))
     if f == 0:
         return st._replace(slots=table._renorm_flat(st.slots))
     w2 = min(w1, max(256, 1 << (f - 1).bit_length()))
-    return table.residue_phase(st, tuple(x[:w2] for x in carry), 2, w2)
+    return table.residue_phase(st, _slice_carry(carry, w2), 2, w2)
 
 
 def test_sorted_split_flow_matches_legacy():

@@ -86,15 +86,13 @@ def main() -> int:
     # 25x inflation, 32 GiB, compile-time OOM).  Build ONE jit per
     # program and reuse it (each fresh jax.jit wrapper re-negotiates
     # layouts); bench the single-program insert only at l <= 24.
+    from tests.test_table import _split_insert
+
     st = table.init_state()
-    phase1j = jax.jit(table.insert_phase1)
-    phase2j = jax.jit(table.insert_phase2)
-    if args.l <= 24:
-        insert = jax.jit(table.insert)
-        out = insert(st, ukeys_d, ucounts_d, uvalid_d)
-    else:
-        mid, r1_, un_ = phase1j(st, ukeys_d, ucounts_d, uvalid_d)
-        out = phase2j(mid, ukeys_d, ucounts_d, un_, r1_)
+    out = _split_insert(
+        table, st, ukeys_d, ucounts_d, uvalid_d,
+        table.apply_mode_auto(n),
+    )
     fence(out.n)
     hist = np.asarray(jax.device_get(out.probe_hist))
     rounds = int(np.nonzero(hist)[0].max()) + 1 if hist.any() else 0
@@ -116,14 +114,13 @@ def main() -> int:
         timed("insert (empty table)",
               lambda: insert(st, ukeys_d, ucounts_d, uvalid_d))
 
-    # the r4 production path: phase1 (full-width rounds until the residue
-    # fits 1/8) + phase2 (compact + residue-width rounds), two dispatches
+    # the r5 production path: host-driven split rounds at shrinking
+    # widths + element-mode tail, the way the counter drives it
     def split_insert():
-        mid, r1, unres = phase1j(st, ukeys_d, ucounts_d, uvalid_d)
-        # fence on the scalar: .ravel() of the [slots, cols] state inside
-        # the fence helper is itself a standalone reshape program — and
-        # tiles the array (the layout hazard, a third sighting)
-        return phase2j(mid, ukeys_d, ucounts_d, unres, r1).n
+        return _split_insert(
+            table, st, ukeys_d, ucounts_d, uvalid_d,
+            table.apply_mode_auto(n),
+        ).n
 
     timed("insert split-phase", split_insert)
 
@@ -135,37 +132,36 @@ def main() -> int:
     timed("claims sort (2 ops)",
           jax.jit(lambda c, i: jax.lax.sort((c, i), num_keys=2)), ckey, idx)
 
-    # one combined-row 2-D scatter round alone (the r4 formulation the
-    # residue_phase still uses; r3 three-array scatters were 901 ms)
+    # flat element scatter/gather rounds (what residue_phase pays)
     cols = table.slot_cols
-    row_vals = jnp.asarray(
-        rng.integers(0, 3, size=(n, cols), dtype=np.uint32)
+    vals_flat = jnp.asarray(
+        rng.integers(0, 3, size=n * cols, dtype=np.uint32)
     )
+    ecs = jnp.arange(cols, dtype=jnp.int32)
 
     def scatter_round(slots_flat, posx):
         safe = jnp.where(uvalid_d, posx, table.slots + idx)
-        s2d = slots_flat.reshape(table.slots, cols)
-        res = s2d.at[safe].add(row_vals, mode="drop", unique_indices=True)
-        return res[0, 0]  # scalar: keep the fence off the big array
+        eidx = jnp.concatenate(
+            [c * table.slots + safe for c in range(cols)]
+        )
+        res = slots_flat.at[eidx].add(
+            vals_flat, mode="drop", unique_indices=True
+        )
+        return res[0]
 
-    timed("scatter round (2-D)", jax.jit(scatter_round), out.slots, pos)
+    timed("scatter round (element)", jax.jit(scatter_round),
+          out.slots, pos)
 
-    # gather round alone (combined-row read at probe positions, 2-D view)
     def gather_round(slots_flat, posx):
-        return jnp.sum(slots_flat.reshape(table.slots, cols)[posx][:, 0])
+        tot = jnp.zeros((), jnp.uint32)
+        for c in range(cols):
+            tot = tot + jnp.sum(
+                jnp.take(slots_flat, c * table.slots + posx, mode="clip")
+            )
+        return tot
 
-    timed("gather round (2-D)", jax.jit(gather_round), out.slots, pos)
-
-    # the r5 split flow, one full batch (sorted_round + kernel apply x2
-    # + residue_phase) with host width sync, as the counter drives it
-    from tests.test_table import _split_insert
-
-    def split_sorted():
-        return _split_insert(
-            table, st, ukeys_d, ucounts_d, uvalid_d, "kernel"
-        ).n
-
-    timed("insert split-sorted(kernel)", split_sorted, reps=args.reps)
+    timed("gather round (element)", jax.jit(gather_round),
+          out.slots, pos)
 
     # insert with rows sliced to the unique prefix (half batch);
     # single-program insert only below the layout-hazard size

@@ -87,14 +87,16 @@ def _state_array(name: str, data) -> np.ndarray:
         arr = data[key]
         if name == "slots" and arr.ndim == 2:
             # r4 checkpoints stored the combined rows as [slots, C];
-            # r5 state is flat (core/table.py TableState)
-            arr = np.ascontiguousarray(arr).reshape(-1)
+            # r5 state is flat column-major (core/table.py TableState)
+            arr = np.ascontiguousarray(arr.T).reshape(-1)
         return arr
     if name == "slots" and "state_keys" in data:
         keys = np.asarray(data["state_keys"])
         digits = np.asarray(data["state_digits"]).view(np.uint32)
         used = np.asarray(data["state_used"]).astype(np.uint32)[:, None]
-        return np.concatenate([keys, digits, used], axis=1).reshape(-1)
+        return np.ascontiguousarray(
+            np.concatenate([keys, digits, used], axis=1).T
+        ).reshape(-1)
     raise KeyError(f"checkpoint missing state field {name}")
 
 

@@ -551,7 +551,8 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
             else:
                 def f(st, p0, cl, c, a):
                     return table.split_round(
-                        st, r, p0[:width], cl[:width], c[:width],
+                        st, r, p0[:width],
+                        tuple(x[:width] for x in cl), c[:width],
                         a[:width], mode=mode,
                     )
             jit = self._tphase_cache[key] = jax.jit(
@@ -585,25 +586,6 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
             )
         return jit
 
-    def _table_legacy_jits(self, width: int):
-        table = self.table
-        jits = self._tphase_cache.get(width)
-        if jits is None:
-            ph1 = jax.jit(
-                lambda st, k, c, v: table.insert_phase1(
-                    st, k[:width], c[:width], v[:width]
-                ),
-                donate_argnums=(0,),
-            )
-            ph2 = jax.jit(
-                lambda st, k, c, u, r: table.insert_phase2(
-                    st, k[:width], c[:width], u, r
-                ),
-                donate_argnums=(0,),
-            )
-            jits = self._tphase_cache[width] = (ph1, ph2)
-        return jits
-
     def _table_step(self, buf) -> None:
         keys, counts, valid, nu = self._step(buf)
         p = keys.shape[0]
@@ -613,11 +595,6 @@ class KmerCounter(HpBonusMixin, IngestProgressMixin):
             if 256 <= w and n <= w:
                 width = w
                 break
-        if not self.table.sorted_rounds:
-            ph1, ph2 = self._table_legacy_jits(width)
-            mid, r1, unresolved = ph1(self.state, keys, counts, valid)
-            self.state = ph2(mid, keys, counts, unresolved, r1)
-            return
         cols = self.table.slot_cols
         st, carry, _, n_left = self._table_round_jit(0, width)(
             self.state, keys, counts, valid
