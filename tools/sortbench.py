@@ -138,6 +138,23 @@ def main() -> int:
         )
         print(f"  batched sort B={b:<4}     : {dt*1e3:9.1f} ms "
               f"{n/dt/1e6:8.1f} Melem/s")
+
+    # batched segment sort WITH payload — the bucket-partition candidate:
+    # B buckets of n/B rows, q columns total (nk comparator keys).  If the
+    # per-row cost drops superlinearly with segment size, a linear radix
+    # partition + batched per-bucket sort beats one flat lax.sort.
+    for total, nk in ((3, 3), (5, 3), (9, 3), (9, 9)):
+        for b in (int(x) for x in args.batches.split(",")):
+            if n % b:
+                continue
+            segs = tuple(c.reshape(b, n // b) for c in cols[:total])
+            dt = timeit(
+                jax.jit(lambda *s, nk=nk: jax.lax.sort(
+                    s, dimension=1, num_keys=nk)),
+                *segs, reps=args.reps,
+            )
+            print(f"  batched {nk}k/{total}c B={b:<5}  : {dt*1e3:9.1f} ms "
+                  f"{n/dt/1e6:8.1f} Melem/s")
     return 0
 
 
