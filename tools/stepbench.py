@@ -134,32 +134,33 @@ def main() -> int:
     k_s = jnp.stack([uc.keys] * r)
     c_s = jnp.stack([uc.counts] * r)
     v_s = jnp.stack([uc.valid] * r)
-    # merge timing: CHAIN merges folded inside one jit with the state
-    # DONATED — without donation XLA copies state.keys into a (8,128)-
-    # tiled layout, a 16x padded 16 GB allocation at k=127 l=25
-    chain = 4
-
+    # merge timing mirrors production EXACTLY: one merge per dispatch,
+    # state DONATED and threaded through sequential python-level calls of
+    # ONE reused jit.  (The previous in-program chain of 4 merges hit the
+    # documented (8,128)-layout trap — a 16x-padded copy of [2^l, lanes]
+    # keys, 16 GB at k=127 l=25 — exactly the "one jit per program,
+    # reused" rule this tool exists to police.)
     if jax.default_backend() == "tpu":
         variants = [("fused=0", False), ("fused=1", True)]
     else:
         variants = [("xla", None)]
     for tag, fused in variants:
-        def merge_n(state, k, c, v, f=fused):
-            for _ in range(chain):
-                if f is None:
-                    state = store.merge_stacked(state, k, c, v)
-                else:
-                    state = store._merge_stacked_pallas(
-                        state, k, c, v, fused=f)
-            return state
+        def merge_1(state, k, c, v, f=fused):
+            if f is None:
+                return store.merge_stacked(state, k, c, v)
+            return store._merge_stacked_pallas(state, k, c, v, fused=f)
 
-        merge = jax.jit(merge_n, donate_argnums=(0,))
+        merge = jax.jit(merge_1, donate_argnums=(0,))
 
-        def run_once(merge=merge):
-            return merge(store.init_state(), k_s, c_s, v_s)
-
-        dt = timed(f"merge R={r} {tag} x{chain}", run_once)
-        print(f"{'  -> per merge':>22}: {dt/chain*1e3:9.1f} ms")
+        state = merge(store.init_state(), k_s, c_s, v_s)  # warm compile
+        fence(state)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            state = merge(state, k_s, c_s, v_s)
+        fence(state)
+        dt = (time.perf_counter() - t0 - base) / args.reps
+        print(f"{f'merge R={r} {tag}':>22}: {dt*1e3:9.1f} ms")
+        del state
     return 0
 
 

@@ -28,8 +28,15 @@ _MERGE_TILE = int(os.environ.get("TSX_MERGE_TILE", "0")) or None
 # forces; unset = auto by key width — r3 A/B on one v5e (20k-read bench,
 # l=25): fused wins at n_keys <= 4 (k=14: 0.291 vs 0.330 s/pass, k=31:
 # 0.341 vs 0.346, k=63: 0.397 vs 0.408) but LOSES at n_keys = 8 (k=127:
-# 0.845 vs 0.620) — ten 32-bit columns through the kernel's SMEM frontier
-# exceed what the one-pass formulation saves in HBM round-trips.
+# 0.845 vs 0.620).  r5 isolated the loss at the kernel level
+# (tools/fusedwide.py, VERDICT r4 #7): it is SIZE-dependent, not a flat
+# column-count wall — at 12.6M merged rows fused@tile=16384 WINS
+# (36.6 vs 38.4 ms), but at the production 36M-row store merge it
+# collapses (259.5 ms; tile=8192 recovers to 125.9 but still trails the
+# 117.4 ms 3-pass).  The 11-column working set at 36M rows pushes the
+# kernel past a VMEM/HBM pressure knee the 3-pass formulation never
+# hits, so auto-off at n_keys > 4 stands as the measured optimum for
+# production shapes; see bench_results/report_r5.md.
 def _parse_fused_env() -> bool | None:
     """TSX_FUSED_MERGE: '0'/'1' force, 'auto'/unset = auto-by-width.
     Anything else is rejected loudly — silently mapping e.g. 'true' to
