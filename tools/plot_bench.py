@@ -17,12 +17,16 @@ from pathlib import Path
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--results", default="bench_results")
-    ap.add_argument("--out", default="bench_results/report")
+    ap.add_argument("--out", default="bench_results/bench_table")
     args = ap.parse_args()
 
     rows = []
     for path in sorted(Path(args.results).glob("*.json")):
-        rows.append(json.loads(path.read_text()))
+        data = json.loads(path.read_text())
+        # only bench rows (dicts with a metric); skip scaling-model /
+        # shard-scale artifacts that share the directory
+        if isinstance(data, dict) and "metric" in data:
+            rows.append(data)
     if not rows:
         print("no results found", file=sys.stderr)
         return 1
