@@ -258,12 +258,20 @@ def test_fused_auto_boundary_parity(k):
 
 
 def test_fused_auto_rule_sides():
-    """The auto rule picks the documented side: on at n_keys<=4, off at 8."""
+    """The auto rule picks the documented side: on at n_keys<=4; at wide
+    keys on only up to the measured 12.6M-row win point (r5 fusedwide)."""
     from tsxcount_tpu.core import store as store_mod
 
     if store_mod._FUSED_MERGE is None:  # only meaningful un-forced
         assert store_mod._fused_default(4) is True
         assert store_mod._fused_default(8) is False
+        assert store_mod._fused_default(4, 1 << 26) is True
+        assert store_mod._fused_default(8, store_mod._FUSED_WIN_ROWS) \
+            is True
+        assert store_mod._fused_default(
+            8, store_mod._FUSED_WIN_ROWS + 1) is False
+        # the single-chip k=127 production store merge stays 3-pass
+        assert store_mod._fused_default(8, (1 << 24) + 19_267_584) is False
 
 
 def test_fused_env_rejects_unknown(monkeypatch):

@@ -52,12 +52,22 @@ def _parse_fused_env() -> bool | None:
 
 _FUSED_MERGE = _parse_fused_env()
 _FUSED_MAX_KEYS = 4
+# wide keys (n_keys > 4): the loss is SIZE-dependent (r5, tools/
+# fusedwide.py) — fused WINS at 12.6M merged rows (36.6 vs 38.4 ms)
+# and collapses at the 36M-row single-chip store merge.  Engage fused
+# up to the measured win point; the knee between 12.6M and 36M is
+# unmeasured, so stay conservative.  This puts the multi-chip sharded
+# path (per-shard merges of cap/n_shards + flush/n_shards rows) on the
+# fused kernel at every practical shard count.
+_FUSED_WIN_ROWS = 12_582_912  # == the measured cap 2^23 + p 2^22 win
 
 
-def _fused_default(n_keys: int) -> bool:
-    return _FUSED_MERGE if _FUSED_MERGE is not None else (
-        n_keys <= _FUSED_MAX_KEYS
-    )
+def _fused_default(n_keys: int, total_rows: int | None = None) -> bool:
+    if _FUSED_MERGE is not None:
+        return _FUSED_MERGE
+    if n_keys <= _FUSED_MAX_KEYS:
+        return True
+    return total_rows is not None and total_rows <= _FUSED_WIN_ROWS
 
 from tsxcount_tpu.config import COUNT_DIGITS, KmerSpec, counts_to_int
 from tsxcount_tpu.ops.count import (
@@ -276,7 +286,8 @@ class CountStore:
             jnp.where(state.used, lo0, jnp.uint32(0)),
             jnp.where(state.used, hi0, 0),
         )
-        if _fused_default(n_keys) if fused is None else fused:
+        total_rows = cap + acc[0].shape[0]
+        if _fused_default(n_keys, total_rows) if fused is None else fused:
             from tsxcount_tpu.ops.pallas_merge_dedupe import (
                 merge_dedupe_sorted,
             )
